@@ -1,0 +1,103 @@
+"""Benchmark: video-grounding throughput on one TPU chip.
+
+Measures the flagship inference path — full YOLOv3 backbone + BiLSTM +
+dual-correspondence trunk, 5-frame clips at 256x256 (the reference's
+video-level eval config, test_DCNet.py:178,248-264) — and reports
+frames/sec/chip as ONE JSON line.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md). We normalize
+against an estimated A100 reference throughput of 600 frames/s (a ~62M-param
+YOLOv3 at 256px with the DCNet trunk under PyTorch eager, batch 40; same
+order as public YOLOv3 A100 benchmarks). BASELINE.json's target is >5x that.
+
+Usage: python bench.py [--smoke] [--clips N] [--iters N] [--fp32]
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_REFERENCE_FPS_ESTIMATE = 600.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny shapes + mini backbone (CPU-friendly)")
+    ap.add_argument("--clips", type=int, default=8,
+                    help="clip batch per step (5 frames each)")
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--fp32", action="store_true",
+                    help="disable bfloat16 compute")
+    args = ap.parse_args()
+
+    from dcnet_tpu.config import DCNetConfig
+    from dcnet_tpu.models import DCNet
+    from dcnet_tpu.models.darknet import mini_backbone_defs
+    from dcnet_tpu.models.dcnet import DCNet as DCNetCls
+    from dcnet_tpu.ops.decode import decode_best
+
+    size = 64 if args.smoke else 256
+    clips = 2 if args.smoke else args.clips
+    iters = 3 if args.smoke else args.iters
+    n_frame = 5
+    dtype = jnp.float32 if (args.fp32 or args.smoke) else jnp.bfloat16
+
+    cfg = DCNetConfig(
+        image_size=size, corpus_size=1000,
+        compute_dtype="bfloat16" if dtype == jnp.bfloat16 else "float32",
+        interframe_top_k=min(30, (size // 32) ** 4),
+        interframe_neg_n=min(10, (size // 32) ** 2 - 1),
+        crossmodal_neg_n=min(5, (size // 32) ** 2 - 1))
+    model = DCNet(cfg=cfg, dtype=dtype,
+                  backbone_defs=mini_backbone_defs() if args.smoke else None)
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(
+        rng.rand(clips * n_frame, size, size, 3).astype(np.float32))
+    word_ids = jnp.asarray(rng.randint(1, 1000, (clips, 20)).astype(np.int32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)},
+        images[:2], word_ids[:1].repeat(2, axis=0), train=False)
+
+    @jax.jit
+    def step(variables, images, word_ids):
+        out = model.apply(variables, images, word_ids, n_frame=n_frame,
+                          method=DCNetCls.eval_clip)
+        dec = decode_best(out.outbox, cfg)
+        return dec.boxes, dec.score
+
+    # warmup / compile
+    boxes, score = step(variables, images, word_ids)
+    jax.block_until_ready((boxes, score))
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        boxes, score = step(variables, images, word_ids)
+    jax.block_until_ready((boxes, score))
+    dt = time.perf_counter() - t0
+
+    frames = clips * n_frame * iters
+    fps = frames / dt
+    p50_clip_ms = (dt / iters / clips) * 1000.0
+    print(json.dumps({
+        "metric": "video_grounding_eval_frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / A100_REFERENCE_FPS_ESTIMATE, 3),
+        "extra": {
+            "p50_per_clip_ms": round(p50_clip_ms, 2),
+            "clip_batch": clips, "n_frame": n_frame, "image_size": size,
+            "dtype": str(dtype.__name__),
+            "device": str(jax.devices()[0].platform),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

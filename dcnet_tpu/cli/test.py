@@ -1,0 +1,132 @@
+"""Video-level evaluation + temporal-cache entry point.
+
+Rebuilds `test_DCNet.py --test` (center-frame eval over n-frame clips,
+`/root/reference/test_DCNet.py:339-499`) and `--cache` + `post_processing.py`
+(two-pass temporal fusion, :546-701 / post_processing.py:205-352) — here the
+cache pass and the fusion pass run back-to-back on device, no per-frame
+`.pth` files.
+
+Example (data-free smoke):
+    python -m dcnet_tpu.cli.test --synthetic --lstm --mini --size 64 \
+        --num_frame_k 5 --test --post_process
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dcnet_tpu.cli.common import (
+    base_parser, build_dataset, build_model, config_from_args,
+    setup_logging, splice_backbone_weights,
+)
+from dcnet_tpu.data.vid import batch_iterator
+from dcnet_tpu.eval.metrics import AverageMeter
+from dcnet_tpu.eval.temporal import build_frame_cache, temporal_fuse
+from dcnet_tpu.models.dcnet import DCNet
+from dcnet_tpu.ops.boxes import bbox_iou
+from dcnet_tpu.ops.decode import decode_best, inverse_letterbox
+from dcnet_tpu.ops.target import build_target
+from dcnet_tpu.train.checkpoint import restore_checkpoint
+from dcnet_tpu.train.state import create_train_state
+
+
+def main(argv=None):
+    parser = base_parser("dcnet_tpu video-level evaluation")
+    parser.add_argument("--cache", action="store_true",
+                        help="build the temporal top-k cache")
+    parser.add_argument("--post_process", action="store_true",
+                        help="run temporal fusion over the cache")
+    parser.add_argument("--topk", default=5, type=int)
+    args = parser.parse_args(argv)
+    if args.num_frame_k == 2:
+        args.num_frame_k = 5  # test default (test_DCNet.py:178)
+    args.test = True
+    if args.savename == "default":
+        args.savename = f"model_{args.dataset}_batch{args.batch_size}"
+    setup_logging(args.savename, test=True)
+
+    ds, corpus = build_dataset(args, "test", testmode=True)
+    cfg = config_from_args(args, corpus_size=len(corpus))
+    model = build_model(args, cfg)
+
+    sample = ds[0]
+    state = create_train_state(
+        model, cfg, jax.random.PRNGKey(cfg.seed), steps_per_epoch=1,
+        sample_batch={
+            "images": sample["images"][:2].repeat(1, axis=0),
+            "word_ids": sample["word_ids"][:2]})
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    variables = splice_backbone_weights(args, variables)
+    state = state.replace(params=variables["params"],
+                          batch_stats=variables["batch_stats"])
+    if args.resume:
+        state, _, _ = restore_checkpoint(args.resume, state)
+
+    k = args.num_frame_k
+    center = k // 2
+
+    @functools.partial(jax.jit, static_argnames=())
+    def forward(params, batch_stats, images, word_ids):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images, word_ids, n_frame=k, method=DCNet.eval_clip)
+
+    acc, miou = AverageMeter(), AverageMeter()
+    cache_rows = []
+    gt_rows = []
+    for batch in batch_iterator(ds, 1, drop_last=False):
+        images = jnp.asarray(batch["images"].reshape(-1, *batch["images"].shape[2:]))
+        word_ids = jnp.asarray(batch["word_ids"][:, center])
+        out = forward(state.params, state.batch_stats, images, word_ids)
+
+        bbox = jnp.clip(jnp.asarray(batch["bbox"][:, center]), 0, cfg.image_size - 1)
+        dec = decode_best(out.outbox, cfg)
+        ratio = jnp.asarray(batch["ratio"][:, center])
+        dw = jnp.asarray(batch["dw"][:, center])
+        dh = jnp.asarray(batch["dh"][:, center])
+        ow = (cfg.image_size - 2 * dw) / ratio
+        oh = (cfg.image_size - 2 * dh) / ratio
+        pred = inverse_letterbox(dec.boxes[:, 0], ratio, dw, dh, ow, oh)
+        gt = inverse_letterbox(bbox, ratio, dw, dh, ow, oh)
+        iou = float(bbox_iou(pred, gt)[0])
+        acc.update(float(iou > 0.5))
+        miou.update(iou)
+
+        if args.cache or args.post_process:
+            cache_rows.append(build_frame_cache(
+                out.outbox, out.corr_feat, args.topk, cfg))
+            gt_rows.append((np.asarray(bbox)[0], float(ratio[0]),
+                            float(dw[0]), float(dh[0])))
+
+    print(f"{acc.avg:.6f},{miou.avg:.6f}")
+
+    if args.post_process and cache_rows:
+        from dcnet_tpu.eval.temporal import FrameCache
+        cache = FrameCache(
+            boxes=jnp.concatenate([c.boxes for c in cache_rows]),
+            scores=jnp.concatenate([c.scores for c in cache_rows]),
+            feats=jnp.concatenate([c.feats for c in cache_rows]))
+        fused = temporal_fuse(cache, ref_frames=k)
+        pp_acc, pp_miou = AverageMeter(), AverageMeter()
+        for t, (gt_box, ratio, dw, dh) in enumerate(gt_rows):
+            ow = (cfg.image_size - 2 * dw) / ratio
+            oh = (cfg.image_size - 2 * dh) / ratio
+            pred = inverse_letterbox(fused[t], jnp.asarray(ratio),
+                                     jnp.asarray(dw), jnp.asarray(dh),
+                                     jnp.asarray(ow), jnp.asarray(oh))
+            gt = inverse_letterbox(jnp.asarray(gt_box), jnp.asarray(ratio),
+                                   jnp.asarray(dw), jnp.asarray(dh),
+                                   jnp.asarray(ow), jnp.asarray(oh))
+            iou = float(bbox_iou(pred[None], gt[None])[0])
+            pp_acc.update(float(iou > 0.5))
+            pp_miou.update(iou)
+        print(f"post_process: {pp_acc.avg:.6f},{pp_miou.avg:.6f}")
+    return acc.avg
+
+
+if __name__ == "__main__":
+    main()

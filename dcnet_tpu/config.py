@@ -106,6 +106,17 @@ class DCNetConfig:
     # TPU-specific
     compute_dtype: str = "float32"  # "bfloat16" for the fast path
 
+    def __post_init__(self):
+        # Clamp correspondence sampling to what the coarsest grid offers
+        # (reference constants 30/10/5 assume size=256 -> 64 patches).
+        p = (self.image_size // 32) ** 2
+        object.__setattr__(self, "interframe_top_k",
+                           min(self.interframe_top_k, p * p))
+        object.__setattr__(self, "interframe_neg_n",
+                           min(self.interframe_neg_n, max(p - 1, 1)))
+        object.__setattr__(self, "crossmodal_neg_n",
+                           min(self.crossmodal_neg_n, max(p - 1, 1)))
+
     # ---- derived ----
 
     @property

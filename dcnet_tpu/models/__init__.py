@@ -1,3 +1,7 @@
+from dcnet_tpu.models.attention import PhraseAttention
+from dcnet_tpu.models.dcnet import DCNet, EvalOutputs, TrainOutputs
+from dcnet_tpu.models.heads import ConvBNReLU, DenseBNReLU, FusionFCN, MappingLang
+from dcnet_tpu.models.lstm import BiLSTMEncoder, convert_torch_lstm_params
 from dcnet_tpu.models.darknet import (
     DarknetBackbone,
     LayerDef,

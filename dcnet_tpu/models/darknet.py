@@ -169,6 +169,34 @@ def yolov3_layer_defs(num_classes: int = 80) -> Tuple[LayerDef, ...]:
     return _blocks_to_defs(blocks, 3)
 
 
+def mini_backbone_defs() -> Tuple[LayerDef, ...]:
+    """A tiny 3-scale backbone with the same capture contract as YOLOv3
+    (features at /32, /16, /8, coarsest first). For tests, smoke runs, and
+    fast iteration — NOT weight-compatible with `.weights` files."""
+    blocks: List[Dict[str, str]] = []
+
+    def conv(filters: int, size: int, stride: int = 1,
+             t: str = "convolutional") -> None:
+        blocks.append({
+            "type": t, "filters": str(filters), "size": str(size),
+            "stride": str(stride), "pad": "1", "batch_normalize": "1",
+            "activation": "leaky"})
+
+    conv(8, 3, 2)    # 0: /2
+    conv(16, 3, 2)   # 1: /4
+    conv(24, 3, 2)   # 2: /8
+    conv(32, 3, 2)   # 3: /16
+    conv(48, 3, 2)   # 4: /32
+    conv(16, 1, t="yoloconvolutional")        # 5: capture 48ch @ /32
+    blocks.append({"type": "upsample", "stride": "2"})   # 6: /16
+    blocks.append({"type": "route", "layers": "-1, 3"})  # 7: 16+32 @ /16
+    conv(16, 1, t="yoloconvolutional")        # 8: capture 48ch @ /16
+    blocks.append({"type": "upsample", "stride": "2"})   # 9: /8
+    blocks.append({"type": "route", "layers": "-1, 2"})  # 10: 16+24 @ /8
+    conv(8, 1, t="yoloconvolutional")         # 11: capture 40ch @ /8
+    return _blocks_to_defs(blocks, 3)
+
+
 def upsample2(x: jnp.ndarray) -> jnp.ndarray:
     """Exact MyUpsample2 (darknet.py:158-160): nearest x2 by expand-reshape."""
     b, h, w, c = x.shape

@@ -1,0 +1,133 @@
+"""Shared fusion-head building blocks (flax linen, NHWC).
+
+Rebuilds the head modules of `/root/reference/model/DCNet_model.py:254-338`:
+ConvBatchNormReLU (darknet.py:118-156, BN eps 1e-5 / torch momentum 0.999),
+the 3-scale visual mapping, the language MLP, the per-scale fusion FCN +
+box head (full and `light` variants), and the location-embedding MLPs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dcnet_tpu.config import ANCHORS_PER_SCALE, BOX_ATTRS
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    """F.normalize(p=2) equivalent.
+
+    Clamps the *squared* norm before rsqrt so the gradient at an exactly-zero
+    vector is 0 rather than NaN (ReLU'd feature maps do produce all-zero
+    slices; torch's clamp_min(eps) backward has the same zero-grad behavior).
+    """
+    sq = jnp.sum(jnp.square(x), axis=axis, keepdims=True)
+    return x * jax.lax.rsqrt(jnp.maximum(sq, eps * eps))
+
+
+class ConvBNReLU(nn.Module):
+    """Conv -> BN(eps 1e-5, torch momentum 0.999) -> ReLU/LeakyReLU.
+
+    Torch momentum 0.999 means running stats track the latest batch almost
+    exactly; flax momentum = 1 - 0.999 = 0.001.
+    """
+
+    features: int
+    kernel: int = 1
+    stride: int = 1
+    leaky: bool = False
+    relu: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        pad = (self.kernel - 1) // 2
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride),
+                    padding=[(pad, pad), (pad, pad)], use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.001,
+                         epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
+        if self.leaky:
+            x = nn.leaky_relu(x, negative_slope=0.1)
+        elif self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class DenseBNReLU(nn.Module):
+    """Linear -> BatchNorm1d (torch default momentum 0.1) -> ReLU."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Dense(self.features, dtype=self.dtype, name="fc")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
+        return nn.relu(x)
+
+
+class MappingLang(nn.Module):
+    """textdim -> emb -> emb MLP with BN/ReLU/Dropout (DCNet_model.py:268-276)."""
+
+    emb_size: int
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = DenseBNReLU(self.emb_size, dtype=self.dtype, name="l0")(x, train)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = DenseBNReLU(self.emb_size, dtype=self.dtype, name="l1")(x, train)
+        return x
+
+
+class FusionFCN(nn.Module):
+    """Per-scale fusion trunk + box head (DCNet_model.py:293-338).
+
+    full: fcn_emb = 1x1 -> 3x3 -> 1x1 ConvBNReLU, fcn_out = 1x1 ConvBNReLU
+    (emb->emb/2) + plain 1x1 conv to 15 channels.
+    light: single 1x1 ConvBNReLU + plain 1x1 conv.
+    Returns (intermediate features NHWC, outbox (B, 3, 5, h, w)).
+    """
+
+    emb_size: int
+    light: bool = False
+    leaky: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        e = self.emb_size
+        if self.light:
+            x = ConvBNReLU(e, 1, leaky=self.leaky, dtype=self.dtype,
+                           name="emb0")(x, train)
+        else:
+            x = ConvBNReLU(e, 1, leaky=self.leaky, dtype=self.dtype,
+                           name="emb0")(x, train)
+            x = ConvBNReLU(e, 3, leaky=self.leaky, dtype=self.dtype,
+                           name="emb1")(x, train)
+            x = ConvBNReLU(e, 1, leaky=self.leaky, dtype=self.dtype,
+                           name="emb2")(x, train)
+        intmd = x
+        if not self.light:
+            x = ConvBNReLU(e // 2, 1, leaky=self.leaky, dtype=self.dtype,
+                           name="out0")(x, train)
+        x = nn.Conv(ANCHORS_PER_SCALE * BOX_ATTRS, (1, 1), dtype=self.dtype,
+                    name="out1")(x)
+        b, h, w, _ = x.shape
+        outbox = x.reshape(b, h, w, ANCHORS_PER_SCALE, BOX_ATTRS)
+        outbox = jnp.transpose(outbox, (0, 3, 4, 1, 2))  # (B, 3, 5, h, w)
+        return intmd, outbox
+
+
+def tile_language(flang: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """(B, C) -> (B, h, w, C) tile (DCNet_model.py:492-493)."""
+    return jnp.broadcast_to(flang[:, None, None, :],
+                            (flang.shape[0], h, w, flang.shape[1]))

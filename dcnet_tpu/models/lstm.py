@@ -97,7 +97,10 @@ class BiLSTMEncoder(nn.Module):
             w_hh = self.param(f"{prefix}_w_hh", k_init, (self.hidden_size, h4))
             b_ih = self.param(f"{prefix}_b_ih", k_init, (h4,))
             b_hh = self.param(f"{prefix}_b_hh", k_init, (h4,))
-            return _lstm_scan(emb, lengths, w_ih, w_hh, b_ih + b_hh, reverse)
+            # cast to the compute dtype so the scan carry type is stable
+            return _lstm_scan(emb, lengths, w_ih.astype(emb.dtype),
+                              w_hh.astype(emb.dtype),
+                              (b_ih + b_hh).astype(emb.dtype), reverse)
 
         fwd = direction("fwd", reverse=False)
         bwd = direction("bwd", reverse=True)

@@ -1,0 +1,157 @@
+"""Data pipeline tests: letterbox parity, chunking semantics, synthetic VID
+end-to-end, referit pipeline, batch iterator sharding."""
+
+import numpy as np
+import pytest
+
+from dcnet_tpu.data import transforms as T
+from dcnet_tpu.data.corpus import Corpus
+from dcnet_tpu.data.synthetic import (
+    build_synthetic_corpus, generate_synthetic_vid, synthetic_phrases,
+)
+from dcnet_tpu.data.vid import VIDDataset, batch_iterator, get_chunks
+
+
+def test_letterbox_matches_reference_geometry():
+    rng = np.random.RandomState(0)
+    img = (rng.rand(240, 320, 3) * 255).astype(np.uint8)
+    out, ratio, dw, dh = T.letterbox(img, 256)
+    assert out.shape == (256, 256, 3)
+    assert abs(ratio - 256 / 320) < 1e-9
+    assert abs(dw - 0.0) < 1e-9
+    assert abs(dh - (256 - round(240 * 256 / 320)) / 2) < 1e-9
+    # padding rows are the gray color
+    assert np.all(np.abs(out[0].astype(float) - [124, 116, 104]) < 2)
+    # round-trip box mapping
+    bbox = np.array([10.0, 20.0, 100.0, 200.0])
+    mapped = bbox.copy()
+    mapped[[0, 2]] = mapped[[0, 2]] * ratio + dw
+    mapped[[1, 3]] = mapped[[1, 3]] * ratio + dh
+    back = T.inverse_letterbox_box(mapped, ratio, dw, dh)
+    np.testing.assert_allclose(back, bbox, atol=1e-9)
+
+
+def test_flip_swaps_phrase_and_box():
+    img = np.zeros((10, 20, 3), np.uint8)
+    bbox = np.array([2.0, 1.0, 8.0, 5.0])
+    _, b2, p2 = T.horizontal_flip(img, bbox, "left of the right pole")
+    assert p2 == "right of the left pole"
+    np.testing.assert_allclose(b2, [20 - 8 - 1, 1, 20 - 2 - 1, 5])
+
+
+def test_wrap_points_identity():
+    bbox = np.array([10.0, 20.0, 50.0, 70.0])
+    out = T.wrap_points(bbox, np.eye(3), 100, 0.0)
+    np.testing.assert_allclose(out, bbox, atol=1e-9)
+
+
+def test_get_chunks_windowing():
+    # k=2: frames [i-1, i], valid centers 1..n-2 (vid_loader.py:159-167)
+    track = [[f"f{i}.jpg", [0, 0, 1, 1], "p"] for i in range(6)]
+    chunks = get_chunks([track], "test", 2)
+    assert len(chunks) == 4
+    assert chunks[0][0] == ["f0.jpg", "f1.jpg"]
+    assert chunks[-1][0] == ["f3.jpg", "f4.jpg"]
+    # k=5: frames [i-2, i+2], centers 2..n-4
+    chunks5 = get_chunks([track], "test", 5)
+    assert len(chunks5) == 1
+    assert chunks5[0][0] == [f"f{i}.jpg" for i in range(5)]
+
+
+def test_synthetic_vid_end_to_end(tmp_path):
+    root = str(tmp_path)
+    index = generate_synthetic_vid(root, "train", num_videos=2,
+                                   frames_per_video=5)
+    corpus = build_synthetic_corpus()
+    ds = VIDDataset(index, corpus, split="train", imsize=64, num_frame_k=2,
+                    image_root=root)
+    assert len(ds) > 0
+    item = ds[0]
+    assert item["images"].shape == (2, 64, 64, 3)
+    assert item["word_ids"].shape == (2, 20)
+    assert item["bbox"].shape == (2, 4)
+    assert np.isfinite(item["images"]).all()
+    b = item["bbox"]
+    assert (b[:, 2] >= b[:, 0]).all() and (b[:, 3] >= b[:, 1]).all()
+    assert (b >= 0).all() and (b <= 64).all()
+    # augmentations differ between epochs but are reproducible within one
+    item_a = ds[0]
+    ds.set_epoch(0)
+    item_b = ds[0]
+    np.testing.assert_allclose(item_a["images"], item_b["images"])
+    ds.set_epoch(1)
+    item_c = ds[0]
+    assert np.abs(item_c["images"] - item_a["images"]).max() > 1e-3
+
+
+def test_testmode_returns_geometry(tmp_path):
+    root = str(tmp_path)
+    index = generate_synthetic_vid(root, "test", num_videos=2,
+                                   frames_per_video=6)
+    corpus = build_synthetic_corpus()
+    ds = VIDDataset(index, corpus, split="test", imsize=64, num_frame_k=5,
+                    image_root=root, testmode=True)
+    item = ds[0]
+    assert item["ratio"].shape == (5,) and item["dw"].shape == (5,)
+    assert len(item["paths"]) == 5 and len(item["phrases"]) == 5
+    # inverse letterbox returns the original-scale box
+    back = T.inverse_letterbox_box(
+        item["bbox"][0].astype(np.float64), float(item["ratio"][0]),
+        float(item["dw"][0]), float(item["dh"][0]))
+    assert back[2] <= 480 + 1 and back[3] <= 320 + 1
+
+
+def test_batch_iterator_sharding(tmp_path):
+    root = str(tmp_path)
+    index = generate_synthetic_vid(root, "test", num_videos=3,
+                                   frames_per_video=6)
+    corpus = build_synthetic_corpus()
+    ds = VIDDataset(index, corpus, split="test", imsize=64, num_frame_k=2,
+                    image_root=root)
+    all_batches = list(batch_iterator(ds, 2, drop_last=False))
+    shard0 = list(batch_iterator(ds, 2, drop_last=False, num_shards=2,
+                                 shard_index=0))
+    shard1 = list(batch_iterator(ds, 2, drop_last=False, num_shards=2,
+                                 shard_index=1))
+    n_all = sum(b["images"].shape[0] for b in all_batches)
+    n_sh = sum(b["images"].shape[0] for b in shard0 + shard1)
+    assert n_all == n_sh == len(ds)
+    assert all_batches[0]["images"].shape[1:] == (2, 64, 64, 3)
+    # threaded loading gives identical batches
+    threaded = list(batch_iterator(ds, 2, drop_last=False, num_workers=4))
+    np.testing.assert_allclose(threaded[0]["images"],
+                               all_batches[0]["images"])
+
+
+def test_referit_dataset(tmp_path):
+    import cv2
+    import json
+    root = str(tmp_path)
+    img = np.zeros((100, 150, 3), np.uint8)
+    img[20:60, 30:90] = (200, 30, 30)
+    cv2.imwrite(f"{root}/img0.jpg", img)
+    index = [["img0.jpg", [30, 20, 90, 60], "the red patch"]]
+    with open(f"{root}/referit_test.json", "w") as f:
+        json.dump(index, f)
+    from dcnet_tpu.data.referit import ReferItDataset
+    corpus = Corpus.build(["the red patch"])
+    ds = ReferItDataset(f"{root}/referit_test.json", corpus, imsize=64,
+                        image_root=root, testmode=True)
+    item = ds[0]
+    assert item["images"].shape == (1, 64, 64, 3)
+    assert item["word_ids"].shape == (1, 20)
+
+
+def test_refcoco_xywh_conversion(tmp_path):
+    import cv2
+    import json
+    root = str(tmp_path)
+    cv2.imwrite(f"{root}/c.jpg", np.zeros((50, 50, 3), np.uint8))
+    index = [["c.jpg", None, [10, 10, 20, 15], "thing", []]]
+    with open(f"{root}/unc_test.json", "w") as f:
+        json.dump(index, f)
+    from dcnet_tpu.data.referit import ReferItDataset
+    ds = ReferItDataset(f"{root}/unc_test.json", Corpus.build(["thing"]),
+                        dataset="unc", imsize=50, image_root=root)
+    item = ds[0]
+    np.testing.assert_allclose(item["bbox"][0], [10, 10, 30, 25], atol=0.5)

@@ -1,0 +1,124 @@
+"""Integration tests for the full DCNet model at a small image size."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dcnet_tpu.config import DCNetConfig
+from dcnet_tpu.losses import total_loss
+from dcnet_tpu.models import DCNet
+from dcnet_tpu.ops.decode import decode_best, flatten_scores
+from dcnet_tpu.ops.target import build_target
+
+CFG = DCNetConfig(
+    image_size=64, corpus_size=50,
+    interframe_top_k=8, interframe_neg_n=3, crossmodal_neg_n=3)
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    from dcnet_tpu.models.darknet import mini_backbone_defs
+    model = DCNet(cfg=CFG, backbone_defs=mini_backbone_defs())
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(4, 64, 64, 3).astype(np.float32))
+    word_ids = jnp.asarray(rng.randint(1, 50, (4, 20)).astype(np.int32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)},
+        images, word_ids, train=False)
+    return model, variables, images, word_ids
+
+
+def test_train_forward_shapes(model_and_vars):
+    model, variables, images, word_ids = model_and_vars
+    out, mutated = model.apply(
+        variables, images, word_ids, train=True,
+        rngs={"sampling": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)},
+        mutable=["batch_stats"])
+    grids = CFG.grids
+    assert [o.shape for o in out.outbox] == [(4, 3, 5, g, g) for g in grids]
+    assert [s.shape for s in out.sim_score] == [(4, g, g) for g in grids]
+    assert [s.shape for s in out.loc_score] == [(4, g, g) for g in grids]
+    assert out.flang_attn.shape == (4, 512)
+    assert out.interframe.q.shape == (2, 8, 512)       # B=2 clips
+    assert out.interframe.neg.shape == (2, 8, 3, 512)
+    assert out.crossmodal.q.shape == (4, 4, 512)       # P = 2*2 patches
+    for o in out.outbox:
+        assert bool(jnp.all(jnp.isfinite(o)))
+    # loc_score in [0, 1] after min-max normalization
+    for s in out.loc_score:
+        assert float(jnp.min(s)) >= 0.0 and float(jnp.max(s)) <= 1.0 + 1e-5
+
+
+def test_loss_and_gradients(model_and_vars):
+    model, variables, images, word_ids = model_and_vars
+    rng = np.random.RandomState(1)
+    bbox = jnp.asarray(
+        np.stack([rng.rand(4) * 30, rng.rand(4) * 30,
+                  rng.rand(4) * 20 + 35, rng.rand(4) * 20 + 35], 1)
+        .astype(np.float32))
+
+    def loss_fn(params):
+        out = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            images, word_ids, train=True,
+            rngs={"sampling": jax.random.PRNGKey(3),
+                  "dropout": jax.random.PRNGKey(4)},
+            mutable=["batch_stats"])[0]
+        tgt = build_target(bbox, CFG)
+        sim_flat = flatten_scores(out.sim_score)
+        loc_flat = flatten_scores(out.loc_score)
+        # neg sim: reversed-batch phrase attn vs fused features
+        # (train_DCNet.py:623-627)
+        neg_sim_flat = flatten_scores([
+            jnp.einsum("bc,bhwc->bhw", out.flang_attn[::-1], f)
+            for f in out.corr_feat])
+        lb = total_loss(out.outbox, sim_flat, neg_sim_flat, loc_flat,
+                        out.interframe, out.crossmodal, tgt, CFG)
+        return lb.total, lb
+
+    (loss, lb), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"])
+    assert np.isfinite(loss)
+    for name in ("yolo", "rank", "loc", "interframe", "crossmodal"):
+        assert np.isfinite(float(getattr(lb, name))), name
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(bool(jnp.all(jnp.isfinite(g))) for g in flat)
+    # backbone and heads both receive gradient
+    gnorm = jax.tree_util.tree_map(lambda g: float(jnp.abs(g).sum()), grads)
+    assert gnorm["visumodel"]["conv_0"]["kernel"] > 0
+    assert gnorm["fcn_0"]["out1"]["kernel"] > 0
+    assert gnorm["textmodel"]["embedding"]["embedding"] > 0
+
+
+def test_eval_clip_center_frame(model_and_vars):
+    model, variables, _, _ = model_and_vars
+    rng = np.random.RandomState(2)
+    images = jnp.asarray(rng.rand(5, 64, 64, 3).astype(np.float32))  # B=1, n=5
+    word_ids = jnp.asarray(rng.randint(1, 50, (1, 20)).astype(np.int32))
+    out = model.apply(variables, images, word_ids, n_frame=5,
+                      method=DCNet.eval_clip)
+    assert [o.shape for o in out.outbox] == [(1, 3, 5, g, g) for g in CFG.grids]
+    dec = decode_best(out.outbox, CFG)
+    assert dec.boxes.shape == (1, 1, 4)
+    assert bool(jnp.all(jnp.isfinite(dec.boxes)))
+
+
+def test_single_image_baseline(model_and_vars):
+    model, variables, _, _ = model_and_vars
+    rng = np.random.RandomState(3)
+    images = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    word_ids = jnp.asarray(rng.randint(1, 50, (2, 20)).astype(np.int32))
+    out = model.apply(variables, images, word_ids, method=DCNet.single_image)
+    assert [o.shape for o in out.outbox] == [(2, 3, 5, g, g) for g in CFG.grids]
+
+
+def test_eval_deterministic(model_and_vars):
+    model, variables, _, _ = model_and_vars
+    rng = np.random.RandomState(4)
+    images = jnp.asarray(rng.rand(5, 64, 64, 3).astype(np.float32))
+    word_ids = jnp.asarray(rng.randint(1, 50, (1, 20)).astype(np.int32))
+    o1 = model.apply(variables, images, word_ids, method=DCNet.eval_clip)
+    o2 = model.apply(variables, images, word_ids, method=DCNet.eval_clip)
+    np.testing.assert_allclose(np.asarray(o1.outbox[0]), np.asarray(o2.outbox[0]))
