@@ -66,32 +66,43 @@ def main():
         images[:2], word_ids[:1].repeat(2, axis=0), train=False)
 
     @jax.jit
-    def step(variables, images, word_ids):
+    def step(variables, images, word_ids, carry):
+        # `carry` forces sequential dependency between iterations so the
+        # remote runtime cannot overlap/elide executions — on this image's
+        # tunneled TPU, block_until_ready returns before execution finishes,
+        # so honest timing = chained dispatches + one host fetch at the end.
+        images = images + carry * 0.0
         out = model.apply(variables, images, word_ids, n_frame=n_frame,
                           method=DCNetCls.eval_clip)
         dec = decode_best(out.outbox, cfg)
-        return dec.boxes, dec.score
+        return dec.boxes, jnp.sum(dec.score)
 
-    # warmup / compile
-    boxes, score = step(variables, images, word_ids)
-    jax.block_until_ready((boxes, score))
+    def run(n):
+        carry = jnp.float32(0)
+        boxes = None
+        t0 = time.perf_counter()
+        for _ in range(n):
+            boxes, carry = step(variables, images, word_ids, carry)
+        np.asarray(carry)  # host fetch: waits for the whole chain
+        return time.perf_counter() - t0, boxes
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        boxes, score = step(variables, images, word_ids)
-    jax.block_until_ready((boxes, score))
-    dt = time.perf_counter() - t0
+    # warmup / compile (+ fetch)
+    run(1)
+    # two chain lengths cancel the constant tunnel round-trip exactly
+    n_short = max(iters // 4, 1)
+    t_short, _ = run(n_short)
+    t_long, boxes = run(iters)
+    dt_step = max((t_long - t_short) / (iters - n_short), 1e-9)
 
-    frames = clips * n_frame * iters
-    fps = frames / dt
-    p50_clip_ms = (dt / iters / clips) * 1000.0
+    fps = clips * n_frame / dt_step
+    p50_clip_ms = dt_step / clips * 1000.0
     print(json.dumps({
         "metric": "video_grounding_eval_frames_per_sec_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / A100_REFERENCE_FPS_ESTIMATE, 3),
         "extra": {
-            "p50_per_clip_ms": round(p50_clip_ms, 2),
+            "p50_per_clip_ms": round(p50_clip_ms, 3),
             "clip_batch": clips, "n_frame": n_frame, "image_size": size,
             "dtype": str(dtype.__name__),
             "device": str(jax.devices()[0].platform),

@@ -245,7 +245,12 @@ class DCNet(nn.Module):
         vit = fvisu[0].reshape(b2, -1, cfg.emb_size)       # (2B, P, C)
         vit = jnp.swapaxes(vit, 1, 2)                      # (2B, C, P)
         vit = l2_normalize(vit, axis=2)                    # normalize over patches
-        lang = context[:, :, ::2]                          # nearest x0.5 (2B, L, C)
+        if cfg.use_lstm:
+            lang = context[:, :, ::2]                      # nearest x0.5 (2B, L, C)
+        else:
+            # BERT: 768-d context can't be channel-halved to 512; use the
+            # encoder's learned projection instead (see models/bert.py).
+            lang = embedded
         lang = l2_normalize(lang, axis=1)                  # over the word axis
         wp_map = jnp.einsum("blc,bcp->blp", lang, vit)     # (2B, L, P)
         # Conv1d over the patch axis mixing the word channels
