@@ -63,6 +63,26 @@ def multiclass_metrics(pred: np.ndarray, gt: np.ndarray) -> Dict[str, float]:
     return out
 
 
+def segmentation_metrics(label_trues, label_preds, n_class: int) -> Dict[str, float]:
+    """Confusion-matrix pixel metrics (acc, mean acc, mean IU, fwavacc) —
+    parity with utils/parsing_metrics.py:8-72 (dead on the DCNet path)."""
+    hist = np.zeros((n_class, n_class))
+    for lt, lp in zip(label_trues, label_preds):
+        mask = (lt >= 0) & (lt < n_class)
+        hist += np.bincount(
+            n_class * lt[mask].astype(int) + lp[mask].astype(int),
+            minlength=n_class ** 2).reshape(n_class, n_class)
+    acc = np.diag(hist).sum() / max(hist.sum(), 1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        acc_cls = np.diag(hist) / hist.sum(axis=1)
+        iu = np.diag(hist) / (hist.sum(axis=1) + hist.sum(axis=0)
+                              - np.diag(hist))
+    freq = hist.sum(axis=1) / max(hist.sum(), 1)
+    fwavacc = (freq[freq > 0] * np.nan_to_num(iu)[freq > 0]).sum()
+    return {"acc": float(acc), "acc_cls": float(np.nanmean(acc_cls)),
+            "mean_iu": float(np.nanmean(iu)), "fwavacc": float(fwavacc)}
+
+
 def compute_ap(recall: np.ndarray, precision: np.ndarray) -> float:
     """VOC-style AP (utils/utils.py:130-154)."""
     mrec = np.concatenate(([0.0], recall, [1.0]))

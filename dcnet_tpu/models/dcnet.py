@@ -195,7 +195,7 @@ class DCNet(nn.Module):
         modulated = []
         for ob, ss, ls in zip(outbox, sim_score, loc_score):
             conf = ob[:, :, 4] * (ss * ls)[:, None]
-            modulated.append(ob.at[:, :, 4].set(conf))
+            modulated.append(ob.at[:, :, 4].set(conf.astype(ob.dtype)))
 
         return modulated, sim_score, loc_score, only_obj, flang_attn
 
@@ -270,17 +270,24 @@ class DCNet(nn.Module):
     # inference forward: n-frame clip, center-frame prediction
     # ------------------------------------------------------------------
 
-    def eval_clip(self, images: jnp.ndarray, word_ids: jnp.ndarray,
-                  n_frame: int = 5, train: bool = False) -> EvalOutputs:
-        """images: (B*n_frame, H, W, 3); word_ids: (B, L) — the center
-        frame's phrase. Predictions for the center frame
-        (test_DCNet_model.py:284-483, with per-clip semantics)."""
+    def extract_features(self, images: jnp.ndarray,
+                         train: bool = False) -> List[jnp.ndarray]:
+        """Backbone + mapping for feature caching (streaming serving runs
+        this once per NEW frame and reuses ring-buffered features for the
+        rest of the clip)."""
+        return self._visual_features(images, train)
+
+    def eval_features(self, per_frame: Sequence[jnp.ndarray],
+                      word_ids: jnp.ndarray, center: Optional[int] = None,
+                      train: bool = False) -> EvalOutputs:
+        """Trunk over pre-extracted per-frame features.
+
+        per_frame: per scale (B, n_frame, h, w, C) mapped+normalized
+        features; word_ids (B, L). Center-vs-each-reference co-attention,
+        corr_conv, averaged (test_DCNet_model.py:303-332)."""
         cfg = self.cfg
-        bn = images.shape[0]
-        b = bn // n_frame
-        center = n_frame // 2
-        fvisu = self._visual_features(images, train)
-        per_frame = [f.reshape(b, n_frame, *f.shape[1:]) for f in fvisu]
+        n_frame = per_frame[0].shape[1]
+        center = n_frame // 2 if center is None else center
 
         corr_feat = []
         for i in range(3):
@@ -303,6 +310,17 @@ class DCNet(nn.Module):
         return EvalOutputs(outbox=outbox, sim_score=sim_score,
                            loc_score=loc_score, corr_feat=corr_feat,
                            only_obj=only_obj)
+
+    def eval_clip(self, images: jnp.ndarray, word_ids: jnp.ndarray,
+                  n_frame: int = 5, train: bool = False) -> EvalOutputs:
+        """images: (B*n_frame, H, W, 3); word_ids: (B, L) — the center
+        frame's phrase. Predictions for the center frame
+        (test_DCNet_model.py:284-483, with per-clip semantics)."""
+        bn = images.shape[0]
+        b = bn // n_frame
+        fvisu = self._visual_features(images, train)
+        per_frame = [f.reshape(b, n_frame, *f.shape[1:]) for f in fvisu]
+        return self.eval_features(per_frame, word_ids, train=train)
 
     # ------------------------------------------------------------------
     # correspondence-free baseline: single image

@@ -1,0 +1,153 @@
+"""Streaming multi-query grounding engine (BASELINE.json config 5).
+
+The reference has no serving layer (SURVEY.md §1: "no serving layer, no
+scheduler"); its closest analog is the offline 2-pass cache + fusion
+(test_DCNet.py --cache + post_processing.py). This engine is the online,
+TPU-native version designed for v5e-slice deployment:
+
+- N independent video streams, each with its own referring phrase, batched
+  into one jitted step; shard the stream axis over the 'data' mesh axis.
+- Per-stream ring buffer of the last `n_frame` *mapped backbone features*
+  in HBM — each step runs the Darknet backbone ONLY on the newly arrived
+  frames (a ~n_frame x backbone-FLOP saving over the reference, which
+  re-runs all 5 frames per clip, test_DCNet.py:373).
+- Per-stream ring of recent top-k (box, score, fused-feature) tuples; the
+  temporal fusion of post_processing.py runs inside the same jitted step.
+
+Predictions are for the window center, i.e. delayed by n_frame//2 frames —
+the same temporal contract as the reference's offline pipeline.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dcnet_tpu.config import DCNetConfig
+from dcnet_tpu.eval.temporal import FrameCache, build_frame_cache
+from dcnet_tpu.models.dcnet import DCNet
+from dcnet_tpu.ops.decode import decode_best
+
+
+class StreamState(NamedTuple):
+    """Ring buffers for all streams. Leading dim = n_streams."""
+
+    feat_rings: Tuple[jnp.ndarray, ...]  # per scale (N, n_frame, h, w, C)
+    cache_boxes: jnp.ndarray             # (N, fuse_window, K, 4)
+    cache_scores: jnp.ndarray            # (N, fuse_window, K)
+    cache_feats: jnp.ndarray             # (N, fuse_window, K, C)
+    frames_seen: jnp.ndarray             # (N,) int32
+
+
+class GroundingEngine:
+    """Batched streaming server. Not a flax module — owns variables + jits."""
+
+    def __init__(self, model: DCNet, variables, cfg: DCNetConfig,
+                 n_streams: int, n_frame: int = 5, topk: int = 5,
+                 fuse_window: int = 5, mesh=None):
+        self.model = model
+        self.variables = variables
+        self.cfg = cfg
+        self.n_streams = n_streams
+        self.n_frame = n_frame
+        self.topk = topk
+        self.fuse_window = fuse_window
+        self.mesh = mesh
+        self._step = jax.jit(self._step_impl)
+
+    def init_state(self) -> StreamState:
+        cfg = self.cfg
+        n = self.n_streams
+        rings = tuple(
+            jnp.zeros((n, self.n_frame, g, g, cfg.emb_size), jnp.float32)
+            for g in cfg.grids)
+        return StreamState(
+            feat_rings=rings,
+            cache_boxes=jnp.zeros((n, self.fuse_window, self.topk, 4)),
+            cache_scores=jnp.zeros((n, self.fuse_window, self.topk)),
+            cache_feats=jnp.zeros((n, self.fuse_window, self.topk,
+                                   cfg.emb_size)),
+            frames_seen=jnp.zeros((n,), jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+
+    def _step_impl(self, variables, state: StreamState,
+                   frames: jnp.ndarray, word_ids: jnp.ndarray):
+        """frames: (N, H, W, 3) — one new frame per stream;
+        word_ids: (N, L). Returns (new_state, fused_box (N, 4),
+        raw_box (N, 4), score (N,))."""
+        model, cfg = self.model, self.cfg
+
+        # 1. backbone only on the new frames
+        new_feats = model.apply(variables, frames,
+                                method=DCNet.extract_features)
+        # 2. shift the rings, append the new frame at the end
+        rings = tuple(
+            jnp.concatenate([ring[:, 1:], f[:, None]], axis=1)
+            for ring, f in zip(state.feat_rings, new_feats))
+
+        # 3. center-frame grounding from cached features
+        out = model.apply(variables, rings, word_ids,
+                          method=DCNet.eval_features)
+        dec = decode_best(out.outbox, cfg)
+        raw_box = dec.boxes[:, 0]
+        raw_score = dec.score[:, 0]
+
+        # 4. per-stream top-k cache ring update
+        cache_now = build_frame_cache(out.outbox, out.corr_feat,
+                                      self.topk, cfg)
+        cache_boxes = jnp.concatenate(
+            [state.cache_boxes[:, 1:], cache_now.boxes[:, None]], axis=1)
+        cache_scores = jnp.concatenate(
+            [state.cache_scores[:, 1:], cache_now.scores[:, None]], axis=1)
+        cache_feats = jnp.concatenate(
+            [state.cache_feats[:, 1:], cache_now.feats[:, None]], axis=1)
+
+        # 5. temporal fusion over the cache window for each stream:
+        #    center entry = fuse_window//2 (post_processing.py:222-276).
+        #    vmapped single-center variant of eval.temporal.temporal_fuse.
+        def fuse_one(boxes, scores, feats, seen):
+            c = self.fuse_window // 2
+            sim = jnp.einsum("ic,rjc->irj", feats[c], feats)   # (K, R, K)
+            sim_max = jnp.max(sim, axis=2)
+            best_j = jnp.argmax(sim, axis=2)                   # (K, R)
+            picked = jnp.take_along_axis(
+                jnp.broadcast_to(scores[None], (self.topk, self.fuse_window,
+                                                self.topk)),
+                best_j[..., None], axis=2)[..., 0]             # (K, R)
+            w = jax.nn.softmax(sim_max, axis=1)
+            # ring slots not yet filled are invalid
+            slot_age = jnp.arange(self.fuse_window - 1, -1, -1)
+            valid = (seen > slot_age).astype(w.dtype)          # (R,)
+            w = w * valid[None, :]
+            fused = jnp.sum(w * picked, axis=1)
+            best = jnp.argmax(fused)
+            return boxes[c, best], fused[best]
+
+        fused_box, fused_score = jax.vmap(fuse_one)(
+            cache_boxes, cache_scores, cache_feats, state.frames_seen + 1)
+
+        new_state = StreamState(
+            feat_rings=rings, cache_boxes=cache_boxes,
+            cache_scores=cache_scores, cache_feats=cache_feats,
+            frames_seen=state.frames_seen + 1)
+        return new_state, fused_box, raw_box, raw_score
+
+    # ------------------------------------------------------------------
+
+    def step(self, state: StreamState, frames, word_ids):
+        """Feed one new frame per stream. Returns
+        (state, fused_boxes (N,4), raw_boxes (N,4), scores (N,)).
+        Predictions are valid once frames_seen >= n_frame."""
+        if self.mesh is not None:
+            from dcnet_tpu.parallel.mesh import batch_sharding
+            sh = batch_sharding(self.mesh)
+            frames = jax.device_put(jnp.asarray(frames), sh)
+            word_ids = jax.device_put(jnp.asarray(word_ids), sh)
+        return self._step(self.variables, state, jnp.asarray(frames),
+                          jnp.asarray(word_ids))

@@ -1,0 +1,100 @@
+"""Streaming engine tests: ring-buffer correctness vs the offline clip path,
+multi-stream batching, and mesh sharding."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dcnet_tpu.config import DCNetConfig
+from dcnet_tpu.models import DCNet
+from dcnet_tpu.models.darknet import mini_backbone_defs
+from dcnet_tpu.models.dcnet import DCNet as DCNetCls
+from dcnet_tpu.serving.engine import GroundingEngine
+
+CFG = DCNetConfig(image_size=64, corpus_size=50,
+                  interframe_top_k=4, interframe_neg_n=3, crossmodal_neg_n=3)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = DCNet(cfg=CFG, backbone_defs=mini_backbone_defs())
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(4, 64, 64, 3).astype(np.float32))
+    ids = jnp.asarray(rng.randint(1, 50, (4, 20)).astype(np.int32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)}, images, ids, train=False)
+    return model, variables
+
+
+def test_streaming_matches_offline_clip(setup):
+    """After n_frame steps the streaming raw prediction must equal the
+    offline eval_clip on the same 5 frames."""
+    model, variables = setup
+    rng = np.random.RandomState(1)
+    n_frame = 5
+    frames = rng.rand(n_frame, 64, 64, 3).astype(np.float32)
+    word_ids = rng.randint(1, 50, (1, 20)).astype(np.int32)
+
+    engine = GroundingEngine(model, variables, CFG, n_streams=1,
+                             n_frame=n_frame, topk=3, fuse_window=3)
+    state = engine.init_state()
+    for t in range(n_frame):
+        state, fused, raw, score = engine.step(
+            state, frames[t][None], word_ids)
+
+    offline = model.apply(variables, jnp.asarray(frames),
+                          jnp.asarray(word_ids), n_frame=n_frame,
+                          method=DCNetCls.eval_clip)
+    from dcnet_tpu.ops.decode import decode_best
+    dec = decode_best(offline.outbox, CFG)
+    np.testing.assert_allclose(np.asarray(raw[0]), np.asarray(dec.boxes[0, 0]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(float(score[0]), float(dec.score[0, 0]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_multi_stream_independence(setup):
+    """Stream 0's outputs must not depend on stream 1's content."""
+    model, variables = setup
+    rng = np.random.RandomState(2)
+    frames_a = rng.rand(5, 2, 64, 64, 3).astype(np.float32)
+    frames_b = frames_a.copy()
+    frames_b[:, 1] = rng.rand(5, 64, 64, 3)  # different stream-1 content
+    ids = rng.randint(1, 50, (2, 20)).astype(np.int32)
+
+    engine = GroundingEngine(model, variables, CFG, n_streams=2,
+                             n_frame=5, topk=3, fuse_window=3)
+    sa = engine.init_state()
+    sb = engine.init_state()
+    for t in range(5):
+        sa, fa, ra, _ = engine.step(sa, frames_a[t], ids)
+        sb, fb, rb, _ = engine.step(sb, frames_b[t], ids)
+    np.testing.assert_allclose(np.asarray(ra[0]), np.asarray(rb[0]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fa[0]), np.asarray(fb[0]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_streaming_on_mesh(setup, devices):
+    """Stream axis sharded over the 8-device mesh executes and matches."""
+    from dcnet_tpu.parallel import make_mesh
+    model, variables = setup
+    rng = np.random.RandomState(3)
+    frames = rng.rand(8, 64, 64, 3).astype(np.float32)
+    ids = rng.randint(1, 50, (8, 20)).astype(np.int32)
+
+    plain = GroundingEngine(model, variables, CFG, n_streams=8,
+                            n_frame=5, topk=3, fuse_window=3)
+    s0 = plain.init_state()
+    s0, f0, r0, _ = plain.step(s0, frames, ids)
+
+    mesh = make_mesh()
+    with mesh:
+        sharded = GroundingEngine(model, variables, CFG, n_streams=8,
+                                  n_frame=5, topk=3, fuse_window=3, mesh=mesh)
+        s1 = sharded.init_state()
+        s1, f1, r1, _ = sharded.step(s1, frames, ids)
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(r1),
+                               rtol=1e-3, atol=1e-3)
