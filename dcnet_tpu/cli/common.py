@@ -15,6 +15,12 @@ import os
 from typing import Optional, Tuple
 
 import jax
+
+# DCNET_PLATFORM=cpu forces the host backend (this image's axon
+# sitecustomize overrides the standard JAX_PLATFORMS env var).
+if os.environ.get("DCNET_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["DCNET_PLATFORM"])
+
 import numpy as np
 
 from dcnet_tpu.config import DCNetConfig

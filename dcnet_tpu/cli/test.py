@@ -41,6 +41,7 @@ def main(argv=None):
     parser.add_argument("--post_process", action="store_true",
                         help="run temporal fusion over the cache")
     parser.add_argument("--topk", default=5, type=int)
+    parser.add_argument("--cache_dir", default="./cache", type=str)
     args = parser.parse_args(argv)
     if args.num_frame_k == 2:
         args.num_frame_k = 5  # test default (test_DCNet.py:178)
@@ -103,6 +104,21 @@ def main(argv=None):
                             float(dw[0]), float(dh[0])))
 
     print(f"{acc.avg:.6f},{miou.avg:.6f}")
+
+    if args.cache and cache_rows:
+        import os
+        from dcnet_tpu.cli.post_process import save_cache_npz
+        from dcnet_tpu.eval.temporal import FrameCache
+        full = FrameCache(
+            boxes=jnp.concatenate([c.boxes for c in cache_rows]),
+            scores=jnp.concatenate([c.scores for c in cache_rows]),
+            feats=jnp.concatenate([c.feats for c in cache_rows]))
+        save_cache_npz(
+            os.path.join(args.cache_dir, args.savename, "cache.npz"), full,
+            np.stack([g[0] for g in gt_rows]),
+            np.asarray([g[1] for g in gt_rows], np.float32),
+            np.asarray([g[2] for g in gt_rows], np.float32),
+            np.asarray([g[3] for g in gt_rows], np.float32))
 
     if args.post_process and cache_rows:
         from dcnet_tpu.eval.temporal import FrameCache
