@@ -105,6 +105,7 @@ class DCNetConfig:
     legacy_anchor_typo: bool = False
     # TPU-specific
     compute_dtype: str = "float32"  # "bfloat16" for the fast path
+    use_fused_coattn: bool = True   # Pallas kernel for co-attention on TPU
 
     def __post_init__(self):
         # Clamp correspondence sampling to what the coarsest grid offers

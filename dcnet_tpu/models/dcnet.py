@@ -118,6 +118,14 @@ class DCNet(nn.Module):
         return [l2_normalize(self.mapping_visu[i](raw[i], train), axis=-1)
                 for i in range(3)]
 
+    def _coattn(self, f1: jnp.ndarray, f2: jnp.ndarray):
+        """Dual-direction co-attention; fused Pallas kernel on TPU when
+        enabled, einsum composition elsewhere."""
+        if self.cfg.use_fused_coattn and jax.default_backend() == "tpu":
+            from dcnet_tpu.ops.pallas.coattn import coattention_pair_fused
+            return coattention_pair_fused(f1, f2, self.cfg.coattn_temperature)
+        return coattention_pair(f1, f2, self.cfg.coattn_temperature)
+
     def _language(self, word_ids: jnp.ndarray, train: bool):
         """Returns (flang (B,C) mapped+normalized, context, embedded).
 
@@ -227,7 +235,7 @@ class DCNet(nn.Module):
         # dual-direction co-attention + corr conv per scale
         corr_feat = []
         for i in range(3):
-            a1, a2 = coattention_pair(input1[i], input2[i], cfg.coattn_temperature)
+            a1, a2 = self._coattn(input1[i], input2[i])
             c1 = jnp.concatenate([input1[i], a1], axis=-1)  # (B, h, w, 2C)
             c2 = jnp.concatenate([input2[i], a2], axis=-1)
             both = jnp.stack([c1, c2], axis=1).reshape(b2, *c1.shape[1:])
@@ -296,8 +304,7 @@ class DCNet(nn.Module):
             for idx in range(n_frame):
                 if idx == center:
                     continue
-                att, _ = coattention_pair(
-                    cen, per_frame[i][:, idx], cfg.coattn_temperature)
+                att, _ = self._coattn(cen, per_frame[i][:, idx])
                 cf = self.corr_conv[i](
                     jnp.concatenate([cen, att], axis=-1), train)
                 cf = l2_normalize(cf, axis=-1)
