@@ -71,6 +71,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="cap steps per epoch (0 = no cap)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute dtype")
+    p.add_argument("--auto_resume", action="store_true",
+                   help="resume from the run's checkpoint dir if present")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() (multi-host pod)")
     return p
 
 

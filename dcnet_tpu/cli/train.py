@@ -31,6 +31,10 @@ from dcnet_tpu.train.state import create_train_state
 
 def main(argv=None):
     args = base_parser("dcnet_tpu training").parse_args(argv)
+    if args.multihost:
+        # multi-host pod bootstrap — the torch.distributed.launch analog;
+        # per-host input sharding comes from batch_iterator(num_shards=...)
+        jax.distributed.initialize()
     if args.savename == "default":
         args.savename = f"model_{args.dataset}_batch{args.batch_size}"
     setup_logging(args.savename, test=False)
@@ -65,6 +69,14 @@ def main(argv=None):
 
     start_epoch, best_acc = 0, -float("inf")
     ckpt_dir = f"./saved_models/{args.savename}"
+    if args.auto_resume and not args.resume:
+        # crash-recovery restart (the reference requires manual --resume;
+        # SURVEY.md §5 "failure detection: none")
+        try:
+            state, start_epoch, best_acc = restore_checkpoint(ckpt_dir, state)
+            print(f"=> auto-resumed from {ckpt_dir} at epoch {start_epoch}")
+        except FileNotFoundError:
+            pass
     if args.resume:
         state, start_epoch, best_acc = restore_checkpoint(args.resume, state)
         print(f"=> resumed from {args.resume} at epoch {start_epoch}")
