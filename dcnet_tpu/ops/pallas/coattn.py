@@ -1,23 +1,21 @@
-"""Fused dual-direction co-attention Pallas kernel.
+"""Fused co-attention Pallas kernel.
 
 The co-attention block (`/root/reference/model/DCNet_model.py:440-459`) is
 DCNet's #2 hot loop (SURVEY.md §3): at the /8 scale the (h*w)x(h*w)
 correlation is 1024x1024 per image, and the naive composition materializes
-two softmaxed attention matrices in HBM (2 x 4 MB per image per direction)
-between four matmuls.
+softmaxed attention matrices in HBM between matmuls.
 
-This kernel computes, per batch element, entirely in VMEM:
+Identity used here: with logits = f1 @ f2^T,
+    direction 1:  softmax_rows(logits) @ f2        (attended for f1)
+    direction 2:  softmax_cols(logits)^T @ f1
+                = softmax_rows(f2 @ f1^T) @ f1      (attended for f2)
+so both directions are one `_attend(q, kv)` kernel with swapped arguments.
+The kernel streams row tiles of q through VMEM — logits (R, P) live only
+on-chip, softmax is exact per tile (full rows), and the (P, P) attention
+matrix never touches HBM.
 
-    logits = f1 @ f2^T * T            (P, P) fp32 on the MXU
-    out1   = softmax_rows(logits) @ f2
-    out2   = softmax_cols(logits)^T @ f1
-
-so HBM traffic is just the feature reads/writes (bandwidth-bound win of
-~3x at the finest scale). Backward falls back to the einsum composition
-via recompute (custom_vjp), so training uses it too.
-
-Guard rails: used when P*P logits fit VMEM (P <= 1024); otherwise the
-einsum path in ops/coattention.py is used.
+Backward falls back to the einsum composition via recompute (custom_vjp),
+so training uses the kernel too.
 """
 
 from __future__ import annotations
@@ -36,42 +34,44 @@ except Exception:  # pragma: no cover
     HAS_PALLAS = False
 
 
-def _kernel(t, f1_ref, f2_ref, o1_ref, o2_ref):
-    f1 = f1_ref[0]  # (P, C)
-    f2 = f2_ref[0]
+def _attend_kernel(t, q_ref, kv_ref, o_ref):
+    q = q_ref[0]    # (R, C)
+    kv = kv_ref[0]  # (P, C)
     logits = jax.lax.dot_general(
-        f1, f2, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * t          # (P, P)
-    w1 = jax.nn.softmax(logits, axis=1)
-    w2 = jax.nn.softmax(logits, axis=0)
-    o1 = jnp.dot(w1.astype(f2.dtype), f2, preferred_element_type=jnp.float32)
-    o2 = jax.lax.dot_general(
-        w2.astype(f1.dtype), f1, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    o1_ref[0] = o1.astype(o1_ref.dtype)
-    o2_ref[0] = o2.astype(o2_ref.dtype)
+        q, kv, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * t       # (R, P) fp32, VMEM only
+    cdtype = jnp.bfloat16 if kv.dtype == jnp.bfloat16 else kv.dtype
+    w = jax.nn.softmax(logits, axis=1).astype(cdtype)
+    o_ref[0] = jnp.dot(w, kv.astype(cdtype),
+                       preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
-def _pallas_coattention(f1: jnp.ndarray, f2: jnp.ndarray, temperature: float,
-                        interpret: bool = False):
-    b, p, c = f1.shape
-    kern = functools.partial(_kernel, temperature)
-    block = pl.BlockSpec((1, p, c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
+def _attend(q: jnp.ndarray, kv: jnp.ndarray, temperature: float,
+            interpret: bool = False) -> jnp.ndarray:
+    """softmax_rows(q @ kv^T * T) @ kv. q, kv: (B, P, C) -> (B, P, C)."""
+    b, p, c = q.shape
+    row_tile = min(p, 256)
+    assert p % row_tile == 0
+    kern = functools.partial(_attend_kernel, temperature)
     return pl.pallas_call(
         kern,
-        grid=(b,),
-        in_specs=[block, block],
-        out_specs=(block, block),
-        out_shape=(jax.ShapeDtypeStruct((b, p, c), f1.dtype),
-                   jax.ShapeDtypeStruct((b, p, c), f1.dtype)),
+        grid=(b, p // row_tile),
+        in_specs=[
+            pl.BlockSpec((1, row_tile, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, row_tile, c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, p, c), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * (3 * p * p * c),
-            bytes_accessed=b * (4 * p * c) * f1.dtype.itemsize,
-            transcendentals=2 * b * p * p,
+            flops=2 * b * 2 * p * p * c,
+            bytes_accessed=b * 3 * p * c * q.dtype.itemsize,
+            transcendentals=b * p * p,
         ),
         interpret=interpret,
-    )(f1, f2)
+    )(q, kv)
 
 
 def _reference(f1, f2, temperature):
@@ -86,10 +86,11 @@ def _reference(f1, f2, temperature):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def coattention_fused(f1: jnp.ndarray, f2: jnp.ndarray, temperature: float,
                       interpret: bool = False):
-    """f1, f2: (B, P, C). Returns (attended_for_f1 (B, P, C),
-    attended_for_f2 (B, P, C)) — same contract as
-    ops.coattention.coattention_pair on flattened patches."""
-    return _pallas_coattention(f1, f2, temperature, interpret)
+    """f1, f2: (B, P, C). Returns (attended_for_f1, attended_for_f2) — the
+    same contract as ops.coattention.coattention_pair on flattened patches."""
+    o1 = _attend(f1, f2, temperature, interpret)
+    o2 = _attend(f2, f1, temperature, interpret)
+    return o1, o2
 
 
 def _fwd(f1, f2, temperature, interpret):
@@ -107,10 +108,10 @@ coattention_fused.defvjp(_fwd, _bwd)
 
 def coattention_pair_fused(
     f1: jnp.ndarray, f2: jnp.ndarray, temperature: float = 10.0,
-    max_vmem_p: int = 1024, interpret: bool = False,
+    max_vmem_p: int = 4096, interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in for ops.coattention.coattention_pair on (B, H, W, C) inputs,
-    dispatching to the fused kernel when the logits tile fits VMEM."""
+    dispatching to the fused kernel when the kv block fits VMEM."""
     b, h, w, c = f1.shape
     p = h * w
     if not HAS_PALLAS or p > max_vmem_p:
