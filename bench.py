@@ -15,9 +15,13 @@ Usage: python bench.py [--smoke] [--clips N] [--iters N] [--fp32]
 
 import argparse
 import json
+import os
 import time
 
 import jax
+
+if os.environ.get("DCNET_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["DCNET_PLATFORM"])
 import jax.numpy as jnp
 import numpy as np
 
@@ -33,6 +37,8 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--fp32", action="store_true",
                     help="disable bfloat16 compute")
+    ap.add_argument("--serving", action="store_true",
+                    help="benchmark the streaming multi-query engine instead")
     args = ap.parse_args()
 
     from dcnet_tpu.config import DCNetConfig
@@ -64,6 +70,45 @@ def main():
         {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
          "dropout": jax.random.PRNGKey(2)},
         images[:2], word_ids[:1].repeat(2, axis=0), train=False)
+
+    if args.serving:
+        # streaming engine: one NEW frame per stream per step (backbone runs
+        # once per frame; correspondence reuses the HBM feature ring)
+        from dcnet_tpu.serving.engine import GroundingEngine
+        n_streams = clips * n_frame  # same per-step pixel budget
+        frames = jnp.asarray(
+            rng.rand(n_streams, size, size, 3).astype(np.float32))
+        sids = jnp.asarray(rng.randint(1, 1000, (n_streams, 20)).astype(np.int32))
+        engine = GroundingEngine(model, variables, cfg, n_streams=n_streams,
+                                 n_frame=n_frame, topk=5, fuse_window=5)
+        state = engine.init_state()
+        state, fused, _, _ = engine.step(state, frames, sids)  # compile
+        np.asarray(fused)
+
+        def run_serving(n):
+            nonlocal state
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(n):
+                state, out, _, _ = engine.step(state, frames, sids)
+            np.asarray(out)
+            return time.perf_counter() - t0
+
+        n_short = max(iters // 4, 1)
+        t_short = run_serving(n_short)
+        t_long = run_serving(iters)
+        dt_step = max((t_long - t_short) / (iters - n_short), 1e-9)
+        fps = n_streams / dt_step
+        print(json.dumps({
+            "metric": "streaming_grounding_frames_per_sec_per_chip",
+            "value": round(fps, 2),
+            "unit": "frames/s",
+            "vs_baseline": round(fps / A100_REFERENCE_FPS_ESTIMATE, 3),
+            "extra": {"n_streams": n_streams, "p50_per_frame_ms":
+                      round(dt_step / n_streams * 1000, 3),
+                      "image_size": size, "dtype": str(dtype.__name__)},
+        }))
+        return
 
     @jax.jit
     def step(variables, images, word_ids, carry):

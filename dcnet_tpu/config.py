@@ -106,6 +106,8 @@ class DCNetConfig:
     # TPU-specific
     compute_dtype: str = "float32"  # "bfloat16" for the fast path
     use_fused_coattn: bool = True   # Pallas kernel for co-attention on TPU
+    remat_backbone: bool = False    # rematerialize backbone activations
+                                    # in backward (HBM for FLOPs trade)
 
     def __post_init__(self):
         # Clamp correspondence sampling to what the coarsest grid offers

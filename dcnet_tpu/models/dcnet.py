@@ -70,7 +70,12 @@ class DCNet(nn.Module):
         cfg = self.cfg
         defs = self.backbone_defs if self.backbone_defs is not None \
             else yolov3_layer_defs()
-        self.backbone = DarknetBackbone(
+        backbone_cls = DarknetBackbone
+        if cfg.remat_backbone:
+            # jax.checkpoint over the 75-conv stack: recompute activations in
+            # the backward pass instead of holding them in HBM
+            backbone_cls = nn.remat(DarknetBackbone, static_argnums=(2,))
+        self.backbone = backbone_cls(
             layer_defs=defs, dtype=self.dtype, name="visumodel")
         self.mapping_visu = tuple(
             ConvBNReLU(cfg.emb_size, 1, dtype=self.dtype, name=f"mapping_visu_{i}")
@@ -114,7 +119,7 @@ class DCNet(nn.Module):
     def _visual_features(self, images: jnp.ndarray, train: bool) -> List[jnp.ndarray]:
         """Backbone + per-scale mapping + channel L2-norm
         (DCNet_model.py:344-359). images NHWC."""
-        raw = self.backbone(images, train=train)
+        raw = self.backbone(images, train)  # positional: remat static_argnums
         return [l2_normalize(self.mapping_visu[i](raw[i], train), axis=-1)
                 for i in range(3)]
 
