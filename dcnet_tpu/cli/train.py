@@ -94,14 +94,19 @@ def main(argv=None):
         put = lambda b: shard_batch(mesh, b)  # noqa: E731
         rng = jax.random.PRNGKey(cfg.seed + 100)
         max_steps = args.max_steps or None
+        from dcnet_tpu.data.vid import prefetch_to_device
+        from dcnet_tpu.parallel.mesh import batch_sharding
         for epoch in range(start_epoch, cfg.nb_epoch):
             train_ds.set_epoch(epoch)
-            batches = batch_iterator(
-                train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed + epoch,
-                num_workers=args.workers)
+            batches = prefetch_to_device(
+                map(flatten_clip_batch,
+                    batch_iterator(train_ds, cfg.batch_size, shuffle=True,
+                                   seed=cfg.seed + epoch,
+                                   num_workers=args.workers)),
+                size=2, sharding=batch_sharding(mesh))
             state = train_epoch(model, cfg, state, batches, rng, epoch,
                                 print_freq=args.print_freq,
-                                max_steps=max_steps, device_put=put)
+                                max_steps=max_steps)
             val_batches = batch_iterator(
                 val_ds, cfg.batch_size, num_workers=args.workers)
             result = validate(model, cfg, state, val_batches,

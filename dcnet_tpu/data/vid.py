@@ -203,3 +203,41 @@ def batch_iterator(
             if len(idxs) < batch_size and drop_last:
                 break
             yield collate([dataset[i] for i in idxs])
+
+
+def prefetch_to_device(iterator, size: int = 2, sharding=None):
+    """Decode-ahead + async H2D transfer (the DataLoader worker/pin_memory
+    analog, train_DCNet.py:473-478): a background thread keeps `size`
+    batches in flight so host preprocessing overlaps device compute."""
+    import queue
+    import threading
+
+    import jax
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _END = object()
+
+    def put(batch):
+        dev = {}
+        for k, v in batch.items():
+            if isinstance(v, np.ndarray) and v.dtype != object:
+                dev[k] = (jax.device_put(v, sharding) if sharding is not None
+                          else jax.device_put(v))
+            else:
+                dev[k] = v
+        q.put(dev)
+
+    def producer():
+        try:
+            for batch in iterator:
+                put(batch)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item

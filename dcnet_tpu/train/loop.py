@@ -24,11 +24,15 @@ from dcnet_tpu.train.step import eval_step, train_step
 log = logging.getLogger("dcnet_tpu")
 
 
+_CLIP_NDIM = {"images": 5, "word_ids": 3, "word_mask": 3, "bbox": 3}
+
+
 def flatten_clip_batch(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    """(B, k, ...) -> (B*k, ...) for images/word_ids/bbox."""
+    """(B, k, ...) -> (B*k, ...) for images/word_ids/bbox. Idempotent:
+    already-flat batches pass through unchanged."""
     out = {}
     for k, v in batch.items():
-        if isinstance(v, np.ndarray) and v.ndim >= 3:
+        if hasattr(v, "ndim") and v.ndim == _CLIP_NDIM.get(k, -1):
             out[k] = v.reshape(-1, *v.shape[2:])
         else:
             out[k] = v
