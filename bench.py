@@ -39,6 +39,8 @@ def main():
                     help="disable bfloat16 compute")
     ap.add_argument("--serving", action="store_true",
                     help="benchmark the streaming multi-query engine instead")
+    ap.add_argument("--train", action="store_true",
+                    help="benchmark the training step instead")
     args = ap.parse_args()
 
     from dcnet_tpu.config import DCNetConfig
@@ -70,6 +72,50 @@ def main():
         {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
          "dropout": jax.random.PRNGKey(2)},
         images[:2], word_ids[:1].repeat(2, axis=0), train=False)
+
+    if args.train:
+        # reference recipe shape: 2-frame clips, batch = clips
+        # (train_DCNet.py:584, README.md:34)
+        from dcnet_tpu.train.state import create_train_state
+        from dcnet_tpu.train.step import train_step
+        n_imgs = 2 * clips
+        batch = {
+            "images": jnp.asarray(
+                rng.rand(n_imgs, size, size, 3).astype(np.float32)),
+            "word_ids": jnp.asarray(
+                rng.randint(1, 1000, (n_imgs, 20)).astype(np.int32)),
+            "bbox": jnp.asarray(np.stack([
+                rng.rand(n_imgs) * 50, rng.rand(n_imgs) * 50,
+                rng.rand(n_imgs) * 100 + 100, rng.rand(n_imgs) * 100 + 100,
+            ], 1).astype(np.float32)),
+        }
+        state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                   steps_per_epoch=1000, sample_batch=batch)
+
+        def run_train(n, state):
+            t0 = time.perf_counter()
+            m = None
+            for _ in range(n):
+                state, m = train_step(model, cfg, state, batch,
+                                      jax.random.PRNGKey(1))
+            np.asarray(m["loss"])
+            return time.perf_counter() - t0, state
+
+        _, state = run_train(1, state)  # compile
+        n_short = max(iters // 4, 1)
+        t_short, state = run_train(n_short, state)
+        t_long, state = run_train(iters, state)
+        dt_step = max((t_long - t_short) / (iters - n_short), 1e-9)
+        fps = n_imgs / dt_step
+        print(json.dumps({
+            "metric": "train_frames_per_sec_per_chip",
+            "value": round(fps, 2),
+            "unit": "frames/s",
+            "vs_baseline": round(fps / (A100_REFERENCE_FPS_ESTIMATE / 3.0), 3),
+            "extra": {"clip_batch": clips, "step_ms": round(dt_step * 1e3, 2),
+                      "image_size": size, "dtype": str(dtype.__name__)},
+        }))
+        return
 
     if args.serving:
         # streaming engine: one NEW frame per stream per step (backbone runs
