@@ -32,7 +32,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes + mini backbone (CPU-friendly)")
-    ap.add_argument("--clips", type=int, default=8,
+    ap.add_argument("--clips", type=int, default=16,
                     help="clip batch per step (5 frames each)")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--fp32", action="store_true",

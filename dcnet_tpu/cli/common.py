@@ -136,8 +136,12 @@ def build_dataset(args, split: str, testmode: bool = False,
     if os.path.exists(corpus_path):
         from dcnet_tpu.data.corpus import load_reference_corpus
         corpus = load_reference_corpus(corpus_path)
-    else:
+    elif os.path.exists(corpus_path.replace(".pth", ".json")):
         corpus = Corpus.load(corpus_path.replace(".pth", ".json"))
+    elif not args.lstm:
+        corpus = Corpus()  # BERT path tokenizes with its own vocab
+    else:
+        raise FileNotFoundError(corpus_path)
     tokenizer = None
     if not args.lstm:
         from dcnet_tpu.data.bert_tokenize import get_bert_tokenizer
