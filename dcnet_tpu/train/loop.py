@@ -19,7 +19,7 @@ import numpy as np
 from dcnet_tpu.config import DCNetConfig
 from dcnet_tpu.eval.metrics import AverageMeter
 from dcnet_tpu.train.state import TrainState
-from dcnet_tpu.train.step import eval_step, train_step
+from dcnet_tpu.train.step import eval_step, train_step_donated
 
 log = logging.getLogger("dcnet_tpu")
 
@@ -55,7 +55,7 @@ def train_epoch(
             break
         batch = device_put(flatten_clip_batch(batch))
         n = batch["images"].shape[0]
-        state, metrics = train_step(model, cfg, state, batch, rng)
+        state, metrics = train_step_donated(model, cfg, state, batch, rng)
         for k, v in metrics.items():
             meters[k].update(float(v), n)
         meters["batch_time"].update(time.time() - end)

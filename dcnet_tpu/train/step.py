@@ -51,8 +51,7 @@ def pred_box_at_target(outbox, tgt: CompactTarget, cfg: DCNetConfig) -> jnp.ndar
     return xywh2xyxy(jnp.stack([cx, cy, bw, bh], axis=-1))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "model"))
-def train_step(
+def _train_step_impl(
     model, cfg: DCNetConfig, state: TrainState, batch: Dict[str, jnp.ndarray],
     rng: jax.Array,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
@@ -94,6 +93,16 @@ def train_step(
         "miou": jnp.mean(iou),
     }
     return new_state, metrics
+
+
+# plain variant: inputs stay valid (tests, side-by-side comparisons)
+train_step = functools.partial(
+    jax.jit, static_argnames=("cfg", "model"))(_train_step_impl)
+# production variant: donates the state pytree so params/opt buffers are
+# updated in place (halves peak HBM for the optimizer state)
+train_step_donated = functools.partial(
+    jax.jit, static_argnames=("cfg", "model"),
+    donate_argnames=("state",))(_train_step_impl)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "model"))
