@@ -155,3 +155,18 @@ def test_refcoco_xywh_conversion(tmp_path):
                         dataset="unc", imsize=50, image_root=root)
     item = ds[0]
     np.testing.assert_allclose(item["bbox"][0], [10, 10, 30, 25], atol=0.5)
+
+
+def test_grain_pipeline(tmp_path):
+    from dcnet_tpu.data.grain_pipeline import grain_loader
+    root = str(tmp_path)
+    index = generate_synthetic_vid(root, "train", num_videos=3,
+                                   frames_per_video=6)
+    ds = VIDDataset(index, build_synthetic_corpus(), split="train", imsize=64,
+                    num_frame_k=2, image_root=root)
+    batches = list(grain_loader(ds, batch_size=2, shuffle=True, seed=0))
+    assert len(batches) == len(ds) // 2
+    assert batches[0]["images"].shape == (2, 2, 64, 64, 3)
+    # deterministic under the same seed
+    again = list(grain_loader(ds, batch_size=2, shuffle=True, seed=0))
+    np.testing.assert_allclose(batches[0]["images"], again[0]["images"])
