@@ -121,10 +121,14 @@ def build_dataset(args, split: str, testmode: bool = False,
             generate_synthetic_vid(
                 root, split, num_videos=8, frames_per_video=8, seed=args.seed)
         corpus = build_synthetic_corpus()
+        tok = None
+        if not args.lstm:
+            from dcnet_tpu.data.bert_tokenize import get_bert_tokenizer
+            tok = get_bert_tokenizer(args.bert_model)
         ds = VIDDataset(index, corpus if args.lstm else None, split=split,
                         imsize=args.size, num_frame_k=k,
                         max_query_len=args.time, testmode=testmode,
-                        image_root=root, seed=args.seed)
+                        image_root=root, seed=args.seed, bert_tokenizer=tok)
         return ds, corpus
     # real VID layout (reference paths, vid_loader.py:270)
     index = os.path.join(args.split_root, args.dataset,

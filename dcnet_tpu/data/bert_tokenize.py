@@ -17,11 +17,55 @@ import numpy as np
 _TOKENIZER_CACHE = {}
 
 
+class FallbackBertTokenizer:
+    """Offline stand-in when no HF vocab is available (this image has zero
+    egress): lowercase whitespace/punct word tokenization with stable hashed
+    ids in the BERT id space. NOT WordPiece — fine for smoke/synthetic runs;
+    supply a local vocab path for real-data parity."""
+
+    CLS_ID, SEP_ID, VOCAB = 101, 102, 30522
+
+    def tokenize(self, text: str):
+        out = []
+        word = ""
+        for ch in text.lower():
+            if ch.isalnum():
+                word += ch
+            else:
+                if word:
+                    out.append(word)
+                    word = ""
+                if not ch.isspace():
+                    out.append(ch)
+        if word:
+            out.append(word)
+        return out
+
+    def convert_tokens_to_ids(self, tokens):
+        import hashlib
+        ids = []
+        for t in tokens:
+            if t == "[CLS]":
+                ids.append(self.CLS_ID)
+            elif t == "[SEP]":
+                ids.append(self.SEP_ID)
+            else:
+                h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+                ids.append(1000 + h % (self.VOCAB - 1000))
+        return ids
+
+
 def get_bert_tokenizer(bert_model: str = "bert-base-uncased"):
     if bert_model not in _TOKENIZER_CACHE:
-        from transformers import BertTokenizer
-        _TOKENIZER_CACHE[bert_model] = BertTokenizer.from_pretrained(
-            bert_model, do_lower_case=True)
+        import os
+        os.environ.setdefault("HF_HUB_OFFLINE", "1")
+        os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+        try:
+            from transformers import BertTokenizer
+            _TOKENIZER_CACHE[bert_model] = BertTokenizer.from_pretrained(
+                bert_model, do_lower_case=True)
+        except Exception:
+            _TOKENIZER_CACHE[bert_model] = FallbackBertTokenizer()
     return _TOKENIZER_CACHE[bert_model]
 
 
