@@ -127,8 +127,8 @@ def main():
         sids = jnp.asarray(rng.randint(1, 1000, (n_streams, 20)).astype(np.int32))
         engine = GroundingEngine(model, variables, cfg, n_streams=n_streams,
                                  n_frame=n_frame, topk=5, fuse_window=5)
-        state = engine.init_state()
-        state, fused, _, _ = engine.step(state, frames, sids)  # compile
+        state = engine.init_state(sids)
+        state, fused, _, _ = engine.step(state, frames)  # compile
         np.asarray(fused)
 
         def run_serving(n):
@@ -136,7 +136,7 @@ def main():
             t0 = time.perf_counter()
             out = None
             for _ in range(n):
-                state, out, _, _ = engine.step(state, frames, sids)
+                state, out, _, _ = engine.step(state, frames)
             np.asarray(out)
             return time.perf_counter() - t0
 

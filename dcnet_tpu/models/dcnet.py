@@ -290,14 +290,21 @@ class DCNet(nn.Module):
         rest of the clip)."""
         return self._visual_features(images, train)
 
+    def encode_language(self, word_ids: jnp.ndarray, train: bool = False):
+        """Language features alone — for per-stream caching in serving
+        (phrases are fixed per stream, so the encoder need not rerun per
+        frame). Returns (flang, context, embedded)."""
+        return self._language(word_ids, train)
+
     def eval_features(self, per_frame: Sequence[jnp.ndarray],
                       word_ids: jnp.ndarray, center: Optional[int] = None,
-                      train: bool = False) -> EvalOutputs:
+                      train: bool = False, language=None) -> EvalOutputs:
         """Trunk over pre-extracted per-frame features.
 
         per_frame: per scale (B, n_frame, h, w, C) mapped+normalized
         features; word_ids (B, L). Center-vs-each-reference co-attention,
-        corr_conv, averaged (test_DCNet_model.py:303-332)."""
+        corr_conv, averaged (test_DCNet_model.py:303-332). Pass `language`
+        = (flang, context, embedded) to skip the text encoder."""
         cfg = self.cfg
         n_frame = per_frame[0].shape[1]
         center = n_frame // 2 if center is None else center
@@ -321,7 +328,9 @@ class DCNet(nn.Module):
             cf = l2_normalize(cf, axis=-1)
             corr_feat.append(jnp.mean(cf.reshape(b, n_ref, h, w, -1), axis=1))
 
-        flang, context, embedded = self._language(word_ids, train)
+        if language is None:
+            language = self._language(word_ids, train)
+        flang, context, embedded = language
         outbox, sim_score, loc_score, only_obj, _ = self._trunk(
             corr_feat, flang, context, embedded, word_ids, train)
         return EvalOutputs(outbox=outbox, sim_score=sim_score,

@@ -41,6 +41,8 @@ class StreamState(NamedTuple):
     cache_scores: jnp.ndarray            # (N, fuse_window, K)
     cache_feats: jnp.ndarray             # (N, fuse_window, K, C)
     frames_seen: jnp.ndarray             # (N,) int32
+    word_ids: jnp.ndarray                # (N, L) each stream's phrase
+    language: Tuple[jnp.ndarray, ...]    # cached (flang, context, embedded)
 
 
 class GroundingEngine:
@@ -58,13 +60,22 @@ class GroundingEngine:
         self.fuse_window = fuse_window
         self.mesh = mesh
         self._step = jax.jit(self._step_impl)
+        self._encode_lang = jax.jit(
+            lambda v, ids: self.model.apply(v, ids,
+                                            method=DCNet.encode_language))
 
-    def init_state(self) -> StreamState:
+    def init_state(self, word_ids) -> StreamState:
+        """word_ids: (N, L) — each stream's referring phrase. The language
+        encoder runs ONCE here and is cached in the state (phrases are
+        per-stream constants, so the per-frame step skips the text encoder
+        entirely)."""
         cfg = self.cfg
         n = self.n_streams
+        word_ids = jnp.asarray(word_ids)
         rings = tuple(
             jnp.zeros((n, self.n_frame, g, g, cfg.emb_size), jnp.float32)
             for g in cfg.grids)
+        language = self._encode_lang(self.variables, word_ids)
         return StreamState(
             feat_rings=rings,
             cache_boxes=jnp.zeros((n, self.fuse_window, self.topk, 4)),
@@ -72,15 +83,16 @@ class GroundingEngine:
             cache_feats=jnp.zeros((n, self.fuse_window, self.topk,
                                    cfg.emb_size)),
             frames_seen=jnp.zeros((n,), jnp.int32),
+            word_ids=word_ids,
+            language=tuple(language),
         )
 
     # ------------------------------------------------------------------
 
     def _step_impl(self, variables, state: StreamState,
-                   frames: jnp.ndarray, word_ids: jnp.ndarray):
-        """frames: (N, H, W, 3) — one new frame per stream;
-        word_ids: (N, L). Returns (new_state, fused_box (N, 4),
-        raw_box (N, 4), score (N,))."""
+                   frames: jnp.ndarray):
+        """frames: (N, H, W, 3) — one new frame per stream. Returns
+        (new_state, fused_box (N, 4), raw_box (N, 4), score (N,))."""
         model, cfg = self.model, self.cfg
 
         # 1. backbone only on the new frames
@@ -91,8 +103,9 @@ class GroundingEngine:
             jnp.concatenate([ring[:, 1:], f[:, None]], axis=1)
             for ring, f in zip(state.feat_rings, new_feats))
 
-        # 3. center-frame grounding from cached features
-        out = model.apply(variables, rings, word_ids,
+        # 3. center-frame grounding from cached visual + language features
+        out = model.apply(variables, rings, state.word_ids,
+                          language=state.language,
                           method=DCNet.eval_features)
         dec = decode_best(out.outbox, cfg)
         raw_box = dec.boxes[:, 0]
@@ -132,7 +145,7 @@ class GroundingEngine:
         fused_box, fused_score = jax.vmap(fuse_one)(
             cache_boxes, cache_scores, cache_feats, state.frames_seen + 1)
 
-        new_state = StreamState(
+        new_state = state._replace(
             feat_rings=rings, cache_boxes=cache_boxes,
             cache_scores=cache_scores, cache_feats=cache_feats,
             frames_seen=state.frames_seen + 1)
@@ -140,7 +153,7 @@ class GroundingEngine:
 
     # ------------------------------------------------------------------
 
-    def step(self, state: StreamState, frames, word_ids):
+    def step(self, state: StreamState, frames):
         """Feed one new frame per stream. Returns
         (state, fused_boxes (N,4), raw_boxes (N,4), scores (N,)).
         Predictions are valid once frames_seen >= n_frame."""
@@ -148,6 +161,4 @@ class GroundingEngine:
             from dcnet_tpu.parallel.mesh import batch_sharding
             sh = batch_sharding(self.mesh)
             frames = jax.device_put(jnp.asarray(frames), sh)
-            word_ids = jax.device_put(jnp.asarray(word_ids), sh)
-        return self._step(self.variables, state, jnp.asarray(frames),
-                          jnp.asarray(word_ids))
+        return self._step(self.variables, state, jnp.asarray(frames))

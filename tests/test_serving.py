@@ -39,10 +39,9 @@ def test_streaming_matches_offline_clip(setup):
 
     engine = GroundingEngine(model, variables, CFG, n_streams=1,
                              n_frame=n_frame, topk=3, fuse_window=3)
-    state = engine.init_state()
+    state = engine.init_state(word_ids)
     for t in range(n_frame):
-        state, fused, raw, score = engine.step(
-            state, frames[t][None], word_ids)
+        state, fused, raw, score = engine.step(state, frames[t][None])
 
     offline = model.apply(variables, jnp.asarray(frames),
                           jnp.asarray(word_ids), n_frame=n_frame,
@@ -66,11 +65,11 @@ def test_multi_stream_independence(setup):
 
     engine = GroundingEngine(model, variables, CFG, n_streams=2,
                              n_frame=5, topk=3, fuse_window=3)
-    sa = engine.init_state()
-    sb = engine.init_state()
+    sa = engine.init_state(ids)
+    sb = engine.init_state(ids)
     for t in range(5):
-        sa, fa, ra, _ = engine.step(sa, frames_a[t], ids)
-        sb, fb, rb, _ = engine.step(sb, frames_b[t], ids)
+        sa, fa, ra, _ = engine.step(sa, frames_a[t])
+        sb, fb, rb, _ = engine.step(sb, frames_b[t])
     np.testing.assert_allclose(np.asarray(ra[0]), np.asarray(rb[0]),
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(fa[0]), np.asarray(fb[0]),
@@ -87,14 +86,14 @@ def test_streaming_on_mesh(setup, devices):
 
     plain = GroundingEngine(model, variables, CFG, n_streams=8,
                             n_frame=5, topk=3, fuse_window=3)
-    s0 = plain.init_state()
-    s0, f0, r0, _ = plain.step(s0, frames, ids)
+    s0 = plain.init_state(ids)
+    s0, f0, r0, _ = plain.step(s0, frames)
 
     mesh = make_mesh()
     with mesh:
         sharded = GroundingEngine(model, variables, CFG, n_streams=8,
                                   n_frame=5, topk=3, fuse_window=3, mesh=mesh)
-        s1 = sharded.init_state()
-        s1, f1, r1, _ = sharded.step(s1, frames, ids)
+        s1 = sharded.init_state(ids)
+        s1, f1, r1, _ = sharded.step(s1, frames)
     np.testing.assert_allclose(np.asarray(r0), np.asarray(r1),
                                rtol=1e-3, atol=1e-3)
