@@ -122,3 +122,24 @@ def test_eval_deterministic(model_and_vars):
     o1 = model.apply(variables, images, word_ids, method=DCNet.eval_clip)
     o2 = model.apply(variables, images, word_ids, method=DCNet.eval_clip)
     np.testing.assert_allclose(np.asarray(o1.outbox[0]), np.asarray(o2.outbox[0]))
+
+
+def test_light_variant_forward():
+    """The --light model: single 1x1 fusion conv + plain head
+    (DCNet_model.py:296-312)."""
+    from dcnet_tpu.models.darknet import mini_backbone_defs
+    cfg = DCNetConfig(image_size=64, corpus_size=50, light=True,
+                      interframe_top_k=4, interframe_neg_n=3,
+                      crossmodal_neg_n=3)
+    model = DCNet(cfg=cfg, backbone_defs=mini_backbone_defs())
+    rng = np.random.RandomState(7)
+    images = jnp.asarray(rng.rand(4, 64, 64, 3).astype(np.float32))
+    ids = jnp.asarray(rng.randint(1, 50, (4, 20)).astype(np.int32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)}, images, ids, train=False)
+    # light fcn has no emb1/emb2/out0 blocks
+    assert "emb1" not in variables["params"]["fcn_0"]
+    assert "out0" not in variables["params"]["fcn_0"]
+    out = model.apply(variables, images, ids, train=False)
+    assert out.outbox[0].shape == (4, 3, 5, 2, 2)
