@@ -311,22 +311,20 @@ class DCNet(nn.Module):
         ref_idx = [i for i in range(n_frame) if i != center]
         n_ref = len(ref_idx)
 
+        # Per-reference loop, q = the same center block each time (batching
+        # the refs into one call requires materializing n_ref copies of the
+        # center features for the attention kernel, which measured slower).
         corr_feat = []
         for i in range(3):
-            b, _, h, w, c = per_frame[i].shape
             cen = per_frame[i][:, center]
-            # batch all reference frames through one co-attention + conv
-            # call instead of a per-frame loop (same math: the conv is
-            # per-sample and eval BN uses running stats)
-            refs = per_frame[i][:, jnp.asarray(ref_idx)]      # (B, R, h, w, C)
-            refs = refs.reshape(b * n_ref, h, w, c)
-            cen_rep = jnp.broadcast_to(
-                cen[:, None], (b, n_ref, h, w, c)).reshape(b * n_ref, h, w, c)
-            att, _ = self._coattn(cen_rep, refs)
-            cf = self.corr_conv[i](
-                jnp.concatenate([cen_rep, att], axis=-1), train)
-            cf = l2_normalize(cf, axis=-1)
-            corr_feat.append(jnp.mean(cf.reshape(b, n_ref, h, w, -1), axis=1))
+            acc = None
+            for idx in ref_idx:
+                att, _ = self._coattn(cen, per_frame[i][:, idx])
+                cf = self.corr_conv[i](
+                    jnp.concatenate([cen, att], axis=-1), train)
+                cf = l2_normalize(cf, axis=-1)
+                acc = cf if acc is None else acc + cf
+            corr_feat.append(acc / n_ref)
 
         if language is None:
             language = self._language(word_ids, train)
