@@ -106,6 +106,8 @@ class DCNetConfig:
     # TPU-specific
     compute_dtype: str = "float32"  # "bfloat16" for the fast path
     use_fused_coattn: bool = True   # Pallas kernel for co-attention on TPU
+    use_fused_locgram: bool = True  # Pallas kernel for the location Gram
+                                    # chain (eval path)
     remat_backbone: bool = False    # rematerialize backbone activations
                                     # in backward (HBM for FLOPs trade)
 

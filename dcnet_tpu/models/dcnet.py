@@ -187,11 +187,25 @@ class DCNet(nn.Module):
 
         coord_emb = self.loc_embedding(coord_map.reshape(-1, 8), train)
         coord_emb = l2_normalize(coord_emb.reshape(b, -1, 8), axis=2)
-        gram = jnp.einsum("bpc,bqc->bpq", coord_emb, coord_emb)   # (B, P, P)
-        gram = gram * obj_map[:, None, :]
-        rel = self.loc_text_embedding(
-            gram.reshape(-1, cfg.all_positions), train)
-        rel = l2_normalize(rel.reshape(b, cfg.all_positions, -1), axis=2)
+        use_fused_gram = (cfg.use_fused_locgram and not train
+                          and not self.is_initializing()
+                          and jax.default_backend() == "tpu")
+        if use_fused_gram:
+            # fused Gram chain: the (B, P, P) intermediate stays in VMEM;
+            # eval BN folded into the projection (ops/pallas/locgram.py)
+            from dcnet_tpu.ops.pallas.locgram import (
+                fold_dense_bn, fused_loc_gram)
+            w_f, b_f = fold_dense_bn(
+                self.variables["params"]["loc_text_embedding"],
+                self.variables["batch_stats"]["loc_text_embedding"])
+            rel = fused_loc_gram(coord_emb, obj_map, w_f, b_f)
+        else:
+            gram = jnp.einsum("bpc,bqc->bpq", coord_emb, coord_emb)  # (B,P,P)
+            gram = gram * obj_map[:, None, :]
+            rel = self.loc_text_embedding(
+                gram.reshape(-1, cfg.all_positions), train)
+            rel = rel.reshape(b, cfg.all_positions, -1)
+        rel = l2_normalize(rel, axis=2)
         loc_map = jnp.einsum("bpc,bc->bp", rel, flang_loc)        # (B, P)
         lo = jnp.min(loc_map, axis=1, keepdims=True)
         hi = jnp.max(loc_map, axis=1, keepdims=True)

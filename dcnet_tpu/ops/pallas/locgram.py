@@ -1,0 +1,97 @@
+"""Fused location-relation Gram kernel (eval path).
+
+The location branch (`/root/reference/model/DCNet_model.py:556-609`, hot
+loop #5 in SURVEY.md §3) computes
+
+    gram = ce @ ce^T                (B, P, P), P = all_positions (1344@256)
+    gram = gram * obj[None, :]
+    rel  = ReLU(BN(gram @ W + b))   (B, P, 512)
+
+The (B, P, P) intermediate costs ~7.2 MB/sample of HBM write+read. This
+kernel streams row tiles of the Gram matrix through VMEM so it never
+touches HBM; the eval-mode BatchNorm is a fixed affine and is folded into
+(W, b) by the caller. Eval/serving only — training uses the einsum path
+(needs batch stats + gradients).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    HAS_PALLAS = False
+
+
+def _kernel(ce_tile_ref, ce_full_ref, obj_ref, w_ref, b_ref, out_ref):
+    ce_t = ce_tile_ref[0]   # (R, 8)
+    ce_f = ce_full_ref[0]   # (P, 8)
+    obj = obj_ref[0]        # (1, P)
+    w = w_ref[:]            # (P, C)
+    b = b_ref[:]            # (1, C)
+    gram = jax.lax.dot_general(
+        ce_t, ce_f, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (R, P) — VMEM only
+    gram = gram * obj                                 # broadcast over rows
+    out = jnp.dot(gram, w, preferred_element_type=jnp.float32) + b
+    out_ref[0] = jnp.maximum(out, 0.0).astype(out_ref.dtype)
+
+
+def fused_loc_gram(ce: jnp.ndarray, obj: jnp.ndarray, w: jnp.ndarray,
+                   b: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """ce: (B, P, 8) normalized coord embeddings; obj: (B, P); w: (P, C)
+    BN-folded projection; b: (C,). Returns ReLU((ce@ce^T * obj) @ w + b)
+    of shape (B, P, C)."""
+    bsz, p, e = ce.shape
+    c = w.shape[1]
+    row_tile = p
+    for cand in (336, 448, 256, 128, 64):
+        if p % cand == 0:
+            row_tile = cand
+            break
+    if p <= 512:
+        row_tile = p
+    kern = _kernel
+    return pl.pallas_call(
+        kern,
+        grid=(bsz, p // row_tile),
+        in_specs=[
+            pl.BlockSpec((1, row_tile, e), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, e), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, row_tile, c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, p, c), ce.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * (p * p * e + p * p * c),
+            bytes_accessed=bsz * (p * e + p + p * c) * 4 + p * c * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ce, ce, obj[:, None, :], w, b[None, :])
+
+
+def fold_dense_bn(params: dict, stats: dict, eps: float = 1e-5):
+    """Fold eval-mode Dense+BatchNorm into a single affine (w', b')."""
+    w = jnp.asarray(params["fc"]["kernel"])      # (P, C)
+    b = jnp.asarray(params["fc"]["bias"])        # (C,)
+    gamma = jnp.asarray(params["bn"]["scale"])
+    beta = jnp.asarray(params["bn"]["bias"])
+    mean = jnp.asarray(stats["bn"]["mean"])
+    var = jnp.asarray(stats["bn"]["var"])
+    s = gamma * jax.lax.rsqrt(var + eps)
+    return w * s[None, :], (b - mean) * s + beta
