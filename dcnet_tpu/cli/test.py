@@ -79,7 +79,10 @@ def main(argv=None):
     acc, miou = AverageMeter(), AverageMeter()
     cache_rows = []
     gt_rows = []
-    for batch in batch_iterator(ds, 1, drop_last=False):
+    # clip-batched eval (the reference is locked to batch_size=1,
+    # test_DCNet.py:263; here the whole pipeline is vectorized)
+    for batch in batch_iterator(ds, args.batch_size, drop_last=False,
+                                num_workers=args.workers):
         images = jnp.asarray(batch["images"].reshape(-1, *batch["images"].shape[2:]))
         word_ids = jnp.asarray(batch["word_ids"][:, center])
         out = forward(state.params, state.batch_stats, images, word_ids)
@@ -93,15 +96,17 @@ def main(argv=None):
         oh = (cfg.image_size - 2 * dh) / ratio
         pred = inverse_letterbox(dec.boxes[:, 0], ratio, dw, dh, ow, oh)
         gt = inverse_letterbox(bbox, ratio, dw, dh, ow, oh)
-        iou = float(bbox_iou(pred, gt)[0])
-        acc.update(float(iou > 0.5))
-        miou.update(iou)
+        iou = np.asarray(bbox_iou(pred, gt))
+        n = iou.shape[0]
+        acc.update(float((iou > 0.5).mean()), n)
+        miou.update(float(iou.mean()), n)
 
         if args.cache or args.post_process:
             cache_rows.append(build_frame_cache(
                 out.outbox, out.corr_feat, args.topk, cfg))
-            gt_rows.append((np.asarray(bbox)[0], float(ratio[0]),
-                            float(dw[0]), float(dh[0])))
+            for ii in range(n):
+                gt_rows.append((np.asarray(bbox)[ii], float(ratio[ii]),
+                                float(dw[ii]), float(dh[ii])))
 
     print(f"{acc.avg:.6f},{miou.avg:.6f}")
 
