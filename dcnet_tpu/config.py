@@ -108,6 +108,9 @@ class DCNetConfig:
     use_fused_coattn: bool = True   # Pallas kernel for co-attention on TPU
     use_fused_locgram: bool = True  # Pallas kernel for the location Gram
                                     # chain (eval path)
+    tp_internals: bool = False      # annotate the big internal matrices
+                                    # (location Gram, co-attention logits)
+                                    # for sharding over a 'model' mesh axis
     remat_backbone: bool = False    # rematerialize backbone activations
                                     # in backward (HBM for FLOPs trade)
 

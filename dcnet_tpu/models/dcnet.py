@@ -125,11 +125,14 @@ class DCNet(nn.Module):
 
     def _coattn(self, f1: jnp.ndarray, f2: jnp.ndarray):
         """Dual-direction co-attention; fused Pallas kernel on TPU when
-        enabled, einsum composition elsewhere."""
-        if self.cfg.use_fused_coattn and jax.default_backend() == "tpu":
+        enabled, einsum composition elsewhere (sharded over the 'model'
+        mesh axis when cfg.tp_internals)."""
+        if (self.cfg.use_fused_coattn and not self.cfg.tp_internals
+                and jax.default_backend() == "tpu"):
             from dcnet_tpu.ops.pallas.coattn import coattention_pair_fused
             return coattention_pair_fused(f1, f2, self.cfg.coattn_temperature)
-        return coattention_pair(f1, f2, self.cfg.coattn_temperature)
+        return coattention_pair(f1, f2, self.cfg.coattn_temperature,
+                                tp_shard=self.cfg.tp_internals)
 
     def _language(self, word_ids: jnp.ndarray, train: bool):
         """Returns (flang (B,C) mapped+normalized, context, embedded).
@@ -201,6 +204,13 @@ class DCNet(nn.Module):
             rel = fused_loc_gram(coord_emb, obj_map, w_f, b_f)
         else:
             gram = jnp.einsum("bpc,bqc->bpq", coord_emb, coord_emb)  # (B,P,P)
+            if cfg.tp_internals:
+                # shard the all_positions^2 relation matrix over the 'model'
+                # mesh axis; GSPMD inserts the collectives (scaling-book
+                # recipe: annotate, let XLA place the all-gathers)
+                from jax.sharding import PartitionSpec as P
+                gram = jax.lax.with_sharding_constraint(
+                    gram, P("data", None, "model"))
             gram = gram * obj_map[:, None, :]
             rel = self.loc_text_embedding(
                 gram.reshape(-1, cfg.all_positions), train)

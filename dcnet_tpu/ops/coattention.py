@@ -20,18 +20,25 @@ import jax.numpy as jnp
 
 
 def coattention_pair(
-    f1: jnp.ndarray, f2: jnp.ndarray, temperature: float = 10.0
+    f1: jnp.ndarray, f2: jnp.ndarray, temperature: float = 10.0,
+    tp_shard: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """f1, f2: (B, H, W, C). Returns (attended_for_f1, attended_for_f2), NHWC.
 
     attended_for_f1 = f2-patches aggregated by softmax over f2 positions
     (reference `input1_attn`); attended_for_f2 symmetric (`input2_attn`).
+    With tp_shard=True the (P, P) logits are annotated for sharding over a
+    'model' mesh axis (tensor parallelism via GSPMD).
     """
     b, h, w, c = f1.shape
     k = f1.reshape(b, h * w, c)  # key: frame1 patches (b, p, c)
     v = f2.reshape(b, h * w, c)  # value: frame2 patches (b, q, c)
     # co_attn_1[b, p, q] = <f1_p, f2_q>
     logits = jnp.einsum("bpc,bqc->bpq", k, v) * temperature
+    if tp_shard:
+        from jax.sharding import PartitionSpec as P
+        logits = jax.lax.with_sharding_constraint(
+            logits, P("data", "model", None))
     # co_attn_2 = softmax over dim=1 of transpose(A) * T => over q for fixed p
     # reference softmax(dim=1) on (b, q, p): normalizes over q.
     attn_for_f1 = jax.nn.softmax(logits, axis=2)   # normalize over f2 patches

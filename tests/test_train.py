@@ -148,3 +148,30 @@ def test_train_step_data_parallel(state_and_model, devices):
     finite = jax.tree_util.tree_map(
         lambda a: bool(jnp.all(jnp.isfinite(a))), new_sharded.params)
     assert all(jax.tree_util.tree_leaves(finite))
+
+
+def test_train_step_tensor_parallel(devices):
+    """2-D (data=4, model=2) mesh with the internal Gram/attention matrices
+    sharded over 'model': same loss as the unsharded layout."""
+    import dataclasses
+    from dcnet_tpu.models.darknet import mini_backbone_defs
+    from dcnet_tpu.parallel import make_mesh, replicate_state, shard_batch
+
+    cfg_tp = dataclasses.replace(CFG, tp_internals=True)
+    model = DCNet(cfg=CFG, backbone_defs=mini_backbone_defs())
+    model_tp = DCNet(cfg=cfg_tp, backbone_defs=mini_backbone_defs())
+    rng = np.random.RandomState(11)
+    batch = _batch(rng, 4)  # 8 images
+    state = create_train_state(model, CFG, jax.random.PRNGKey(0),
+                               steps_per_epoch=10, sample_batch=batch)
+
+    _, m_ref = train_step(model, CFG, state, batch, jax.random.PRNGKey(2))
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    with mesh:
+        st = replicate_state(mesh, state)
+        sharded = shard_batch(mesh, batch)
+        _, m_tp = train_step(model_tp, cfg_tp, st, sharded,
+                             jax.random.PRNGKey(2))
+    np.testing.assert_allclose(float(m_ref["loss"]), float(m_tp["loss"]),
+                               rtol=5e-3)
