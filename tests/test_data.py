@@ -170,3 +170,33 @@ def test_grain_pipeline(tmp_path):
     # deterministic under the same seed
     again = list(grain_loader(ds, batch_size=2, shuffle=True, seed=0))
     np.testing.assert_allclose(batches[0]["images"], again[0]["images"])
+
+
+def test_prefetch_to_device(tmp_path):
+    from dcnet_tpu.data.vid import prefetch_to_device
+    root = str(tmp_path)
+    index = generate_synthetic_vid(root, "test", num_videos=2,
+                                   frames_per_video=6)
+    ds = VIDDataset(index, build_synthetic_corpus(), split="test", imsize=64,
+                    num_frame_k=2, image_root=root)
+    plain = list(batch_iterator(ds, 2, drop_last=False))
+    fetched = list(prefetch_to_device(
+        batch_iterator(ds, 2, drop_last=False), size=2))
+    assert len(plain) == len(fetched)
+    for a, b in zip(plain, fetched):
+        np.testing.assert_allclose(a["images"], np.asarray(b["images"]))
+
+
+def test_vid_dataset_bert_tokenizer(tmp_path):
+    from dcnet_tpu.data.bert_tokenize import FallbackBertTokenizer
+    root = str(tmp_path)
+    index = generate_synthetic_vid(root, "test", num_videos=1,
+                                   frames_per_video=5)
+    ds = VIDDataset(index, corpus=None, split="test", imsize=64,
+                    num_frame_k=2, image_root=root,
+                    bert_tokenizer=FallbackBertTokenizer())
+    item = ds[0]
+    assert item["word_ids"].shape == (2, 20)
+    assert item["word_ids"][0, 0] == 101          # [CLS]
+    assert (item["word_mask"][0] >= 0).all()
+    assert item["word_mask"][0].sum() > 2         # real tokens masked 1
