@@ -42,6 +42,8 @@ def main(argv=None):
                         help="run temporal fusion over the cache")
     parser.add_argument("--topk", default=5, type=int)
     parser.add_argument("--cache_dir", default="./cache", type=str)
+    parser.add_argument("--save_plot", action="store_true",
+                        help="write qualitative JPEGs (test_DCNet.py:985-988)")
     args = parser.parse_args(argv)
     if args.num_frame_k == 2:
         args.num_frame_k = 5  # test default (test_DCNet.py:178)
@@ -100,6 +102,15 @@ def main(argv=None):
         n = iou.shape[0]
         acc.update(float((iou > 0.5).mean()), n)
         miou.update(float(iou.mean()), n)
+
+        if args.save_plot:
+            from dcnet_tpu.eval.visualize import save_grounding_results
+            phrases = [p[center] for p in batch.get("phrases", [])] or [""]
+            save_grounding_results(
+                np.asarray(dec.boxes[:, 0]), np.asarray(bbox),
+                batch["images"][:, center], phrases, "test",
+                acc.count - n,
+                save_path=f"./visulizations/{args.savename}/")
 
         if args.cache or args.post_process:
             cache_rows.append(build_frame_cache(
