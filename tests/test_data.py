@@ -200,3 +200,50 @@ def test_vid_dataset_bert_tokenizer(tmp_path):
     assert item["word_ids"][0, 0] == 101          # [CLS]
     assert (item["word_mask"][0] >= 0).all()
     assert item["word_mask"][0].sum() > 2         # real tokens masked 1
+
+
+class _RefDict:  # stand-in matching the reference pickle's attribute layout
+    def __init__(self):
+        self.idx2word = ["a", "red", "thing", "<unk>", "<pad>", "<eos>"]
+
+
+class _RefCorpus:
+    def __init__(self):
+        self.dictionary = _RefDict()
+
+
+def test_torch_pth_index_ingestion(tmp_path):
+    """The reference ships torch-pickled index files
+    (data/VID/VID_video_level_{split}.pth, vid_loader.py:270); our loader
+    must ingest them directly."""
+    import cv2
+    import torch
+    root = str(tmp_path)
+    img = np.zeros((60, 80, 3), np.uint8)
+    img[10:40, 20:60] = (180, 40, 40)
+    cv2.imwrite(f"{root}/f0.jpg", img)
+    cv2.imwrite(f"{root}/f1.jpg", img)
+    cv2.imwrite(f"{root}/f2.jpg", img)
+    track = [[f"f{i}.jpg", [20, 10, 60, 40], "a red thing"] for i in range(3)]
+    torch.save([track], f"{root}/VID_video_level_test.pth")
+    ds = VIDDataset(f"{root}/VID_video_level_test.pth",
+                    Corpus.build(["a red thing"]), split="test", imsize=64,
+                    num_frame_k=2, image_root=root)
+    item = ds[0]
+    assert item["images"].shape == (2, 64, 64, 3)
+
+    # reference corpus.pth ingestion (utils.word_utils.Corpus pickle)
+    import sys, types
+    from dcnet_tpu.data.corpus import load_reference_corpus
+
+    mod = types.ModuleType("utils.word_utils")
+    mod.Corpus, mod.Dictionary = _RefCorpus, _RefDict
+    sys.modules.setdefault("utils", types.ModuleType("utils"))
+    sys.modules["utils.word_utils"] = mod
+    _RefCorpus.__module__ = "utils.word_utils"
+    _RefDict.__module__ = "utils.word_utils"
+    _RefCorpus.__qualname__ = "Corpus"
+    _RefDict.__qualname__ = "Dictionary"
+    torch.save(_RefCorpus(), f"{root}/corpus.pth")
+    c = load_reference_corpus(f"{root}/corpus.pth")
+    assert len(c) == 6 and "red" in c
