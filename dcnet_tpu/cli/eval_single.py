@@ -12,7 +12,6 @@ Example (data-free smoke):
 
 from __future__ import annotations
 
-import functools
 import os
 
 import jax

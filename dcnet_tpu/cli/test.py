@@ -13,8 +13,6 @@ Example (data-free smoke):
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -29,7 +27,6 @@ from dcnet_tpu.eval.temporal import build_frame_cache, temporal_fuse
 from dcnet_tpu.models.dcnet import DCNet
 from dcnet_tpu.ops.boxes import bbox_iou
 from dcnet_tpu.ops.decode import decode_best, inverse_letterbox
-from dcnet_tpu.ops.target import build_target
 from dcnet_tpu.train.checkpoint import restore_checkpoint
 from dcnet_tpu.train.state import create_train_state
 
@@ -72,7 +69,7 @@ def main(argv=None):
     k = args.num_frame_k
     center = k // 2
 
-    @functools.partial(jax.jit, static_argnames=())
+    @jax.jit
     def forward(params, batch_stats, images, word_ids):
         return model.apply(
             {"params": params, "batch_stats": batch_stats},

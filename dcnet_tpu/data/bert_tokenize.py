@@ -10,7 +10,7 @@ pytorch_pretrained_bert.
 from __future__ import annotations
 
 import re
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

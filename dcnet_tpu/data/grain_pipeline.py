@@ -13,7 +13,7 @@ which already satisfy Grain's RandomAccessDataSource protocol
 
 from __future__ import annotations
 
-from typing import Any, Dict, Iterator, Optional
+from typing import Dict, Iterator, Optional
 
 import numpy as np
 

@@ -12,7 +12,7 @@ Randomness comes from an explicit numpy Generator instead of the global
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -10,7 +10,7 @@ Rebuilds `save_grounding_results` (`/root/reference/train_DCNet.py:222-241`,
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -8,7 +8,7 @@ box head (full and `light` variants), and the location-embedding MLPs.
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax

@@ -16,8 +16,6 @@ touches HBM; the eval-mode BatchNorm is a fixed affine and is folded into
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

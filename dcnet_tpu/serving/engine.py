@@ -20,15 +20,14 @@ the same temporal contract as the reference's offline pipeline.
 
 from __future__ import annotations
 
-import functools
-from typing import List, NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from dcnet_tpu.config import DCNetConfig
-from dcnet_tpu.eval.temporal import FrameCache, build_frame_cache
+from dcnet_tpu.eval.temporal import build_frame_cache
 from dcnet_tpu.models.dcnet import DCNet
 from dcnet_tpu.ops.decode import decode_best
 

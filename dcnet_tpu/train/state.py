@@ -9,7 +9,7 @@ parameter groups (backbone at lr/10), and per-epoch poly LR decay
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
