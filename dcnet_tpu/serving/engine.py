@@ -161,3 +161,22 @@ class GroundingEngine:
             sh = batch_sharding(self.mesh)
             frames = jax.device_put(jnp.asarray(frames), sh)
         return self._step(self.variables, state, jnp.asarray(frames))
+
+
+def cast_params_for_serving(variables, dtype=None):
+    """Cast float params to bf16 for serving: halves weight HBM traffic
+    (BN stats stay fp32 for the folded affines)."""
+    import jax
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.bfloat16
+
+    def cast(x):
+        if hasattr(x, "dtype") and x.dtype == jnp.float32:
+            return x.astype(dtype)
+        return x
+
+    return {
+        "params": jax.tree_util.tree_map(cast, variables["params"]),
+        "batch_stats": variables["batch_stats"],
+    }
