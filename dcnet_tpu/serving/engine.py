@@ -86,6 +86,30 @@ class GroundingEngine:
             language=tuple(language),
         )
 
+    def update_queries(self, state: StreamState, word_ids,
+                       mask=None) -> StreamState:
+        """Hot-swap referring phrases for some or all streams mid-flight.
+
+        word_ids: (N, L); mask: (N,) bool — True where the stream's phrase
+        changed (None = all). Re-encodes language only once per change and
+        resets the affected streams' score caches (their history grounded a
+        different phrase)."""
+        word_ids = jnp.asarray(word_ids)
+        if mask is None:
+            mask = jnp.ones((self.n_streams,), bool)
+        mask = jnp.asarray(mask)
+        new_ids = jnp.where(mask[:, None], word_ids, state.word_ids)
+        language = self._encode_lang(self.variables, new_ids)
+        keep = ~mask
+        return state._replace(
+            word_ids=new_ids,
+            language=tuple(language),
+            cache_boxes=state.cache_boxes * keep[:, None, None, None],
+            cache_scores=state.cache_scores * keep[:, None, None],
+            cache_feats=state.cache_feats * keep[:, None, None, None],
+            frames_seen=state.frames_seen * keep,
+        )
+
     # ------------------------------------------------------------------
 
     def _step_impl(self, variables, state: StreamState,

@@ -97,3 +97,42 @@ def test_streaming_on_mesh(setup, devices):
         s1, f1, r1, _ = sharded.step(s1, frames)
     np.testing.assert_allclose(np.asarray(r0), np.asarray(r1),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_query_hot_swap(setup):
+    """update_queries changes only the masked stream's predictions and
+    resets its fusion cache."""
+    model, variables = setup
+    rng = np.random.RandomState(5)
+    frames = rng.rand(5, 2, 64, 64, 3).astype(np.float32)
+    ids_a = rng.randint(1, 50, (2, 20)).astype(np.int32)
+    ids_b = rng.randint(1, 50, (2, 20)).astype(np.int32)
+
+    engine = GroundingEngine(model, variables, CFG, n_streams=2,
+                             n_frame=5, topk=3, fuse_window=3)
+    state = engine.init_state(ids_a)
+    for t in range(5):
+        state, _, raw_before, _ = engine.step(state, frames[t])
+
+    # swap only stream 0's phrase
+    state2 = engine.update_queries(state, ids_b,
+                                   mask=np.array([True, False]))
+    assert int(state2.frames_seen[0]) == 0
+    assert int(state2.frames_seen[1]) == int(state.frames_seen[1])
+    np.testing.assert_array_equal(np.asarray(state2.word_ids[0]), ids_b[0])
+    np.testing.assert_array_equal(np.asarray(state2.word_ids[1]), ids_a[1])
+
+    # cached language features swapped for stream 0 only
+    d0 = np.abs(np.asarray(state2.language[0][0])
+                - np.asarray(state.language[0][0])).max()
+    d1 = np.abs(np.asarray(state2.language[0][1])
+                - np.asarray(state.language[0][1])).max()
+    assert d0 > 1e-4 and d1 < 1e-6
+
+    # same frame: stream 0's prediction shifts (untrained weights -> small
+    # but nonzero), stream 1 matches the unswapped continuation
+    s_ref, _, raw_ref, _ = engine.step(state, frames[0])
+    s_new, _, raw_new, _ = engine.step(state2, frames[0])
+    assert np.abs(np.asarray(raw_new[0]) - np.asarray(raw_ref[0])).max() > 0
+    np.testing.assert_allclose(np.asarray(raw_new[1]), np.asarray(raw_ref[1]),
+                               rtol=1e-4, atol=1e-4)
