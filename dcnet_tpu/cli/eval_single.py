@@ -93,7 +93,7 @@ def main(argv=None):
                           images, word_ids, method=DCNet.single_image)
         return decode_best(out.outbox, cfg)
 
-    acc, acc_c, miou = AverageMeter(), AverageMeter(), AverageMeter()
+    acc, miou = AverageMeter(), AverageMeter()
     for i, batch in enumerate(batch_iterator(ds, args.batch_size,
                                              drop_last=False)):
         images = jnp.asarray(

@@ -16,3 +16,10 @@ from dcnet_tpu.ops.decode import (
     inverse_letterbox,
 )
 from dcnet_tpu.ops.target import CompactTarget, build_target
+from dcnet_tpu.ops.coattention import coattention_center, coattention_pair
+from dcnet_tpu.ops.correspondence import (
+    ContrastiveSamples, crossmodal_pairs, interframe_pairs,
+)
+from dcnet_tpu.ops.yolo_detect import (
+    ObjectTargets, build_object_targets, coco_category_map, yolo_detections,
+)

@@ -119,3 +119,33 @@ def test_build_object_targets_matches_loop_oracle():
                     assert float(out.conf_mask[b, ai, gj, gi]) == 0.0
     # padding rows must not mark anything at cell (0,0) unless a real obj is there
     assert float(out.mask[1, :, 0, 0].sum()) == 0.0
+
+
+def test_offset_loss_matches_torch_oracle():
+    """Oracle: train_DCNet.py:74-94 pairwise frame-offset MSE."""
+    import torch
+    rng = np.random.RandomState(9)
+    outbox = [jnp.asarray(rng.randn(4, 3, 5, g, g).astype(np.float32))
+              for g in CFG.grids]
+    bbox = jnp.asarray(np.stack([
+        rng.rand(4) * 20, rng.rand(4) * 20,
+        rng.rand(4) * 20 + 30, rng.rand(4) * 20 + 30], 1).astype(np.float32))
+    tgt = build_target(bbox, CFG)
+    got = float(offset_loss(outbox, tgt, CFG))
+
+    pred_bbox = torch.zeros(4, 4)
+    gt_bbox = torch.zeros(4, 4)
+    for ii in range(4):
+        n = int(tgt.best_n[ii])
+        gi, gj = int(tgt.gi[ii]), int(tgt.gj[ii])
+        p = torch.from_numpy(np.asarray(outbox[n // 3]))
+        pred_bbox[ii, 0:2] = torch.sigmoid(p[ii, n % 3, 0:2, gj, gi])
+        pred_bbox[ii, 2:4] = p[ii, n % 3, 2:4, gj, gi]
+        gt_bbox[ii] = torch.from_numpy(np.asarray(tgt.txywh[ii]))
+    pred_bbox = pred_bbox.reshape(-1, 2, 4)
+    gt_bbox = gt_bbox.reshape(-1, 2, 4)
+    mse = torch.nn.MSELoss()
+    ref = sum(
+        mse(pred_bbox[:, 0, i] - pred_bbox[:, 1, i],
+            gt_bbox[:, 0, i] - gt_bbox[:, 1, i]) for i in range(4)) * 5.0
+    np.testing.assert_allclose(got, float(ref), rtol=1e-4)
