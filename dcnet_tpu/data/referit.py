@@ -38,7 +38,9 @@ class ReferItDataset:
         dataset: str = "referit", imsize: int = 256, max_query_len: int = 20,
         augment: bool = False, testmode: bool = False, image_root: str = "",
         seed: int = 13, bert_tokenizer: Optional[Any] = None,
+        legacy_hsv: bool = False,
     ):
+        self.legacy_hsv = legacy_hsv
         self.entries = load_index(index_path)
         self.dataset = dataset
         self.imsize = imsize
@@ -91,7 +93,7 @@ class ReferItDataset:
         if self.augment:
             if rng.random() > 0.5:
                 img, bbox, phrase = T.horizontal_flip(img, bbox, phrase)
-            img = T.hsv_jitter(img, rng)
+            img = T.hsv_jitter(img, rng, legacy_hsv=self.legacy_hsv)
             img, ratio, dw, dh = T.letterbox(img, self.imsize)
             bbox[[0, 2]] = bbox[[0, 2]] * ratio + dw
             bbox[[1, 3]] = bbox[[1, 3]] * ratio + dh

@@ -59,14 +59,23 @@ def inverse_letterbox_box(bbox: np.ndarray, ratio: float, dw: float,
 
 
 def hsv_jitter(img: np.ndarray, rng: np.random.Generator,
-               fraction: float = 0.50) -> np.ndarray:
-    """Random saturation/value scaling (vid_loader.py:357-373). img RGB."""
+               fraction: float = 0.50, legacy_hsv: bool = False) -> np.ndarray:
+    """Random saturation/value scaling (vid_loader.py:357-373). img RGB.
+
+    The reference draws the saturation factor `a` but never multiplies S by
+    it (vid_loader.py:362-365 computes S and clips, sans `S *= a`), so its
+    saturation jitter is a no-op. We apply the evidently intended jitter;
+    `legacy_hsv=True` reproduces the reference's no-op exactly (the factor
+    is still drawn, keeping the RNG sequence — and hence all downstream
+    augmentation geometry — aligned with the fixed behavior).
+    """
     img_hsv = cv2.cvtColor(cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
                            cv2.COLOR_BGR2HSV)
     s = img_hsv[:, :, 1].astype(np.float32)
     v = img_hsv[:, :, 2].astype(np.float32)
     a = (rng.random() * 2 - 1) * fraction + 1
-    s *= a
+    if not legacy_hsv:
+        s *= a
     if a > 1:
         np.clip(s, 0, 255, out=s)
     a = (rng.random() * 2 - 1) * fraction + 1

@@ -72,8 +72,9 @@ class VIDDataset:
         imsize: int = 256, num_frame_k: int = 2, max_query_len: int = 20,
         augment: Optional[bool] = None, testmode: bool = False,
         image_root: str = "", seed: int = 13,
-        bert_tokenizer: Optional[Any] = None,
+        bert_tokenizer: Optional[Any] = None, legacy_hsv: bool = False,
     ):
+        self.legacy_hsv = legacy_hsv
         self.imsize = imsize
         self.k = num_frame_k
         self.query_len = max_query_len
@@ -132,7 +133,7 @@ class VIDDataset:
                     imgs[i], bboxs[i], phrases[i] = T.horizontal_flip(
                         imgs[i], bboxs[i], phrases[i])
             for i in range(self.k):  # per-frame HSV + letterbox
-                img = T.hsv_jitter(imgs[i], rng)
+                img = T.hsv_jitter(imgs[i], rng, legacy_hsv=self.legacy_hsv)
                 imgs[i], ratio, dw, dh = T.letterbox(img, self.imsize)
                 ratios.append(ratio); dws.append(dw); dhs.append(dh)
                 bboxs[i][[0, 2]] = bboxs[i][[0, 2]] * ratio + dw

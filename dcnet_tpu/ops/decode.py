@@ -121,8 +121,8 @@ def inverse_letterbox(
 ) -> jnp.ndarray:
     """Map letterboxed-pixel xyxy boxes back to original image coords.
 
-    Mirrors test_DCNet.py:952-969: subtract padding, divide by ratio, clamp
-    to the original image extent.
+    Mirrors test_DCNet.py:440-446,538-543: subtract padding, divide by
+    ratio, clamp to the original image extent.
     """
     x1 = jnp.clip((boxes[..., 0] - dw) / ratio, 0)
     y1 = jnp.clip((boxes[..., 1] - dh) / ratio, 0)

@@ -70,7 +70,8 @@ def test_reference_state_dict_ingestion(state):
         "module.visumodel.module_list.0.batch_norm_0.running_mean":
             torch.from_numpy(np.full((c_out,), 0.5, np.float32)),
     }
-    params, stats = convert_reference_state_dict(
+    params, stats, report = convert_reference_state_dict(
         sd, state.params, state.batch_stats)
     assert np.all(np.asarray(params["visumodel"]["conv_0"]["kernel"]) == 3.0)
     assert np.all(np.asarray(stats["visumodel"]["bn_0"]["mean"]) == 0.5)
+    assert len(report.matched) == 2 and report.unmatched == []

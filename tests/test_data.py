@@ -39,6 +39,29 @@ def test_flip_swaps_phrase_and_box():
     np.testing.assert_allclose(b2, [20 - 8 - 1, 1, 20 - 2 - 1, 5])
 
 
+def test_hsv_jitter_legacy_mode():
+    """legacy_hsv=True reproduces the reference's saturation no-op
+    (vid_loader.py:360-365 never multiplies S by `a`) while consuming the
+    same RNG draws, so downstream augmentation geometry is unchanged."""
+    rng0 = np.random.RandomState(7)
+    img = (rng0.rand(32, 32, 3) * 255).astype(np.uint8)
+
+    legacy = T.hsv_jitter(img, np.random.default_rng(3), legacy_hsv=True)
+    fixed = T.hsv_jitter(img, np.random.default_rng(3), legacy_hsv=False)
+
+    def sat(x):
+        return T.cv2.cvtColor(T.cv2.cvtColor(x, T.cv2.COLOR_RGB2BGR),
+                              T.cv2.COLOR_BGR2HSV)[:, :, 1].astype(float)
+
+    # seed 3 first draw: a < 1, so the fixed path visibly dims saturation
+    assert np.mean(sat(legacy)) > np.mean(sat(fixed)) + 1.0
+    # same number of RNG draws in both modes
+    r1, r2 = np.random.default_rng(3), np.random.default_rng(3)
+    T.hsv_jitter(img, r1, legacy_hsv=True)
+    T.hsv_jitter(img, r2, legacy_hsv=False)
+    assert r1.random() == r2.random()
+
+
 def test_wrap_points_identity():
     bbox = np.array([10.0, 20.0, 50.0, 70.0])
     out = T.wrap_points(bbox, np.eye(3), 100, 0.0)
