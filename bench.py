@@ -41,13 +41,26 @@ def main():
                     help="benchmark the streaming multi-query engine instead")
     ap.add_argument("--train", action="store_true",
                     help="benchmark the training step instead")
+    ap.add_argument("--single", action="store_true",
+                    help="BASELINE config 1: ReferIt-style single-image "
+                         "grounding, batch 1 on CPU, vs a measured torch "
+                         "mirror of the reference")
+    ap.add_argument("--bert", action="store_true",
+                    help="BASELINE config 4: BERT encoder variant, clip "
+                         "batch 32, full dual-correspondence train forward")
     args = ap.parse_args()
+
+    if args.single:
+        return bench_single_image(args)
 
     from dcnet_tpu.config import DCNetConfig
     from dcnet_tpu.models import DCNet
     from dcnet_tpu.models.darknet import mini_backbone_defs
     from dcnet_tpu.models.dcnet import DCNet as DCNetCls
     from dcnet_tpu.ops.decode import decode_best
+
+    if args.bert:
+        return bench_bert(args)
 
     size = 64 if args.smoke else 256
     clips = 2 if args.smoke else args.clips
@@ -198,6 +211,157 @@ def main():
             "dtype": str(dtype.__name__),
             "device": str(jax.devices()[0].platform),
         },
+    }))
+
+
+def bench_single_image(args):
+    """BASELINE config 1: ReferIt single-image grounding (Darknet-53 + LSTM,
+    256x256, batch 1 on CPU, referit_loader.py:147-340 shapes).
+
+    The baseline here is MEASURED, not estimated: the torch mirror of the
+    reference model (tests/test_reference_bridge._RefModel — exact reference
+    module graph) runs the SAME weights on the same CPU."""
+    import torch
+
+    jax.config.update("jax_platforms", "cpu")  # config 1 is a CPU config
+    from dcnet_tpu.config import DCNetConfig
+    from dcnet_tpu.models import DCNet
+    from dcnet_tpu.models.darknet import mini_backbone_defs, yolov3_layer_defs
+    from dcnet_tpu.models.dcnet import DCNet as DCNetCls
+    from dcnet_tpu.ops.decode import decode_best
+    from dcnet_tpu.train.checkpoint import export_reference_state_dict
+    from tests.test_reference_bridge import _RefModel
+
+    size = 64 if args.smoke else 256
+    iters = 3 if args.smoke else max(args.iters, 10)
+    cfg = DCNetConfig(image_size=size, corpus_size=1000, dataset="referit",
+                      interframe_top_k=min(30, (size // 32) ** 4),
+                      interframe_neg_n=min(10, (size // 32) ** 2 - 1),
+                      crossmodal_neg_n=min(5, (size // 32) ** 2 - 1))
+    defs = mini_backbone_defs() if args.smoke else yolov3_layer_defs()
+    model = DCNet(cfg=cfg, backbone_defs=defs)
+
+    rng = np.random.RandomState(0)
+    image = jnp.asarray(rng.rand(1, size, size, 3).astype(np.float32))
+    word_ids = jnp.asarray(rng.randint(1, 1000, (1, 20)).astype(np.int32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)},
+        image.repeat(2, axis=0), word_ids.repeat(2, axis=0), train=False)
+
+    @jax.jit
+    def step(variables, image, word_ids, carry):
+        out = model.apply(variables, image + carry * 0.0, word_ids,
+                          method=DCNetCls.single_image)
+        dec = decode_best(out.outbox, cfg)
+        return dec.boxes, jnp.sum(dec.score)
+
+    def run(n):
+        carry = jnp.float32(0)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            _, carry = step(variables, image, word_ids, carry)
+        np.asarray(carry)
+        return time.perf_counter() - t0
+
+    run(1)
+    n_short = max(iters // 4, 1)
+    t_short = run(n_short)
+    t_long = run(iters)
+    ours_ms = max((t_long - t_short) / (iters - n_short), 1e-9) * 1e3
+
+    # torch mirror, same weights, eval mode, single thread count left default
+    sd = export_reference_state_dict(variables["params"],
+                                     variables["batch_stats"])
+    ref = _RefModel(cfg, defs=defs).eval()
+    ref.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                         for k, v in sd.items()}, strict=True)
+    t_img = torch.from_numpy(np.asarray(image).transpose(0, 3, 1, 2))
+    t_ids = torch.from_numpy(np.asarray(word_ids, np.int64))
+    with torch.no_grad():
+        ref.single_image(t_img, t_ids)  # warmup
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            ref.single_image(t_img, t_ids)
+        torch_ms = (time.perf_counter() - t0) / iters * 1e3
+
+    print(json.dumps({
+        "metric": "single_image_grounding_latency_cpu_batch1",
+        "value": round(ours_ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(torch_ms / ours_ms, 3),  # speedup over torch
+        "extra": {"torch_reference_ms": round(torch_ms, 2),
+                  "image_size": size, "dtype": "float32",
+                  "baseline": "measured torch mirror, same weights/CPU"},
+    }))
+
+
+def bench_bert(args):
+    """BASELINE config 4: BERT language encoder at clip batch 32 with the
+    full dual-correspondence module (train-mode forward: inter-frame +
+    cross-modal sampling active; DCNet_model.py:248-249,477-484)."""
+    from dcnet_tpu.config import DCNetConfig
+    from dcnet_tpu.models import DCNet
+    from dcnet_tpu.models.darknet import mini_backbone_defs
+
+    size = 64 if args.smoke else 256
+    clips = 2 if args.smoke else 32
+    iters = 3 if args.smoke else args.iters
+    dtype = jnp.float32 if (args.fp32 or args.smoke) else jnp.bfloat16
+    cfg = DCNetConfig(
+        image_size=size, use_lstm=False, corpus_size=0,
+        compute_dtype="bfloat16" if dtype == jnp.bfloat16 else "float32",
+        interframe_top_k=min(30, (size // 32) ** 4),
+        interframe_neg_n=min(10, (size // 32) ** 2 - 1),
+        crossmodal_neg_n=min(5, (size // 32) ** 2 - 1))
+    model = DCNet(cfg=cfg, dtype=dtype,
+                  backbone_defs=mini_backbone_defs() if args.smoke else None)
+
+    rng = np.random.RandomState(0)
+    n_imgs = 2 * clips
+    images = jnp.asarray(rng.rand(n_imgs, size, size, 3).astype(np.float32))
+    word_ids = jnp.asarray(rng.randint(1, 30000, (n_imgs, 20)).astype(np.int32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)},
+        images[:2], word_ids[:2], train=False)
+
+    @jax.jit
+    def step(variables, images, word_ids, carry):
+        out, _ = model.apply(
+            variables, images + carry * 0.0, word_ids, train=True,
+            rngs={"sampling": jax.random.PRNGKey(1),
+                  "dropout": jax.random.PRNGKey(2)},
+            mutable=["batch_stats"])
+        chain = (sum(jnp.sum(ob.astype(jnp.float32)) for ob in out.outbox)
+                 + jnp.sum(out.interframe.q.astype(jnp.float32)))
+        return chain
+
+    def run(n):
+        carry = jnp.float32(0)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            carry = step(variables, images, word_ids, carry)
+        np.asarray(carry)
+        return time.perf_counter() - t0
+
+    run(1)
+    n_short = max(iters // 4, 1)
+    t_short = run(n_short)
+    t_long = run(iters)
+    dt_step = max((t_long - t_short) / (iters - n_short), 1e-9)
+    fps = n_imgs / dt_step
+    print(json.dumps({
+        "metric": "bert_dual_correspondence_frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / A100_REFERENCE_FPS_ESTIMATE, 3),
+        "extra": {"clip_batch": clips, "step_ms": round(dt_step * 1e3, 2),
+                  "image_size": size, "dtype": str(dtype.__name__),
+                  "encoder": "bert-base-uncased (frozen, from-scratch flax)",
+                  "note": "train-mode forward incl. both contrastive "
+                          "sampling branches; vs_baseline uses the eval "
+                          "A100 estimate"},
     }))
 
 

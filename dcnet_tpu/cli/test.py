@@ -23,7 +23,7 @@ from dcnet_tpu.cli.common import (
 )
 from dcnet_tpu.data.vid import batch_iterator
 from dcnet_tpu.eval.metrics import AverageMeter
-from dcnet_tpu.eval.temporal import build_frame_cache, temporal_fuse
+from dcnet_tpu.eval.temporal import build_frame_cache
 from dcnet_tpu.models.dcnet import DCNet
 from dcnet_tpu.ops.boxes import bbox_iou
 from dcnet_tpu.ops.decode import decode_best, inverse_letterbox
@@ -39,6 +39,10 @@ def main(argv=None):
                         help="run temporal fusion over the cache")
     parser.add_argument("--topk", default=5, type=int)
     parser.add_argument("--cache_dir", default="./cache", type=str)
+    parser.add_argument("--ref_cache_format", action="store_true",
+                        help="with --cache, also write the reference's "
+                             "per-frame .pth files (test_DCNet.py:641-655) "
+                             "so post_processing.py can consume our pass 1")
     parser.add_argument("--save_plot", action="store_true",
                         help="write qualitative JPEGs (test_DCNet.py:985-988)")
     args = parser.parse_args(argv)
@@ -77,7 +81,9 @@ def main(argv=None):
 
     acc, miou = AverageMeter(), AverageMeter()
     cache_rows = []
+    vid_rows = []
     gt_rows = []
+    path_rows = []
     # clip-batched eval (the reference is locked to batch_size=1,
     # test_DCNet.py:263; here the whole pipeline is vectorized)
     for batch in batch_iterator(ds, args.batch_size, drop_last=False,
@@ -112,9 +118,11 @@ def main(argv=None):
         if args.cache or args.post_process:
             cache_rows.append(build_frame_cache(
                 out.outbox, out.corr_feat, args.topk, cfg))
+            vid_rows.append(np.asarray(batch["video_id"], np.int32))
             for ii in range(n):
                 gt_rows.append((np.asarray(bbox)[ii], float(ratio[ii]),
                                 float(dw[ii]), float(dh[ii])))
+                path_rows.append(batch["paths"][ii][center])
 
     print(f"{acc.avg:.6f},{miou.avg:.6f}")
 
@@ -131,15 +139,30 @@ def main(argv=None):
             np.stack([g[0] for g in gt_rows]),
             np.asarray([g[1] for g in gt_rows], np.float32),
             np.asarray([g[2] for g in gt_rows], np.float32),
-            np.asarray([g[3] for g in gt_rows], np.float32))
+            np.asarray([g[3] for g in gt_rows], np.float32),
+            video_ids=np.concatenate(vid_rows))
+        if args.ref_cache_format:
+            from dcnet_tpu.eval.ref_cache import write_reference_cache
+            r = jnp.asarray([g[1] for g in gt_rows])[:, None]
+            dw_a = jnp.asarray([g[2] for g in gt_rows])[:, None]
+            dh_a = jnp.asarray([g[3] for g in gt_rows])[:, None]
+            ow_a = (cfg.image_size - 2 * dw_a) / r
+            oh_a = (cfg.image_size - 2 * dh_a) / r
+            orig_boxes = inverse_letterbox(full.boxes, r, dw_a, dh_a,
+                                           ow_a, oh_a)
+            write_reference_cache(
+                os.path.join(args.cache_dir, args.savename),
+                path_rows, FrameCache(orig_boxes, full.scores, full.feats))
 
     if args.post_process and cache_rows:
-        from dcnet_tpu.eval.temporal import FrameCache
+        from dcnet_tpu.eval.temporal import FrameCache, fuse_per_video
         cache = FrameCache(
             boxes=jnp.concatenate([c.boxes for c in cache_rows]),
             scores=jnp.concatenate([c.scores for c in cache_rows]),
             feats=jnp.concatenate([c.feats for c in cache_rows]))
-        fused = temporal_fuse(cache, ref_frames=k)
+        # fuse within each video only; frames at video edges treat
+        # out-of-video neighbors as missing (post_processing.py:188-193)
+        fused = fuse_per_video(cache, np.concatenate(vid_rows), ref_frames=k)
         pp_acc, pp_miou = AverageMeter(), AverageMeter()
         for t, (gt_box, ratio, dw, dh) in enumerate(gt_rows):
             ow = (cfg.image_size - 2 * dw) / ratio

@@ -28,7 +28,10 @@ from dcnet_tpu.data import transforms as T
 
 
 Frame = Tuple[str, Sequence[float], str]
-Chunk = Tuple[List[str], List[np.ndarray], List[str]]
+# (frame paths, boxes, phrases, video index) — the video index marks clip
+# provenance so temporal fusion never crosses a video boundary
+# (the reference keys its cache files by video dir, test_DCNet.py:641-648).
+Chunk = Tuple[List[str], List[np.ndarray], List[str], int]
 
 
 def load_index(path: str) -> List:
@@ -47,7 +50,7 @@ def get_chunks(videos: List, split: str, num_frame_k: int,
     num_floor = int(math.floor(num_frame_k / 2))
     num_ceil = int(math.ceil(num_frame_k / 2))
     chunks: List[Chunk] = []
-    for vid in videos:
+    for video_id, vid in enumerate(videos):
         track = vid[int(rng.integers(0, len(vid)))] if split == "train" else vid
         n = len(track)
         for center in range(n):
@@ -59,7 +62,7 @@ def get_chunks(videos: List, split: str, num_frame_k: int,
                 paths.append(f[0])
                 boxes.append(np.asarray(f[1], np.float64))
                 phrases.append(str(f[2]))
-            chunks.append((paths, boxes, phrases))
+            chunks.append((paths, boxes, phrases, video_id))
     return chunks
 
 
@@ -118,7 +121,7 @@ class VIDDataset:
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         idx = int(idx)  # numpy ints overflow the seed arithmetic below
-        paths, bboxs, phrases = self.chunks[idx]
+        paths, bboxs, phrases, video_id = self.chunks[idx]
         bboxs = [b.copy() for b in bboxs]
         phrases = [p.lower() for p in phrases]
         ori_phrases = list(phrases)
@@ -161,6 +164,7 @@ class VIDDataset:
             out["ratio"] = np.asarray(ratios, np.float32)
             out["dw"] = np.asarray(dws, np.float32)
             out["dh"] = np.asarray(dhs, np.float32)
+            out["video_id"] = np.asarray(video_id, np.int32)
             out["paths"] = paths
             out["phrases"] = ori_phrases
         return out

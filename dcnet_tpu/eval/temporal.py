@@ -51,19 +51,23 @@ def build_frame_cache(
     return FrameCache(boxes=dec.boxes, scores=dec.score, feats=feats)
 
 
-def temporal_fuse(cache: FrameCache, ref_frames: int) -> jnp.ndarray:
+def temporal_fuse(cache: FrameCache, ref_frames: int,
+                  t_valid=None) -> jnp.ndarray:
     """Fuse each frame's top-k scores with its temporal neighborhood and pick
     the winning box (post_processing.py:205-276). Returns (T, 4) boxes.
 
     Frames whose neighbors fall off the ends mirror the reference's
     missing-cache fallback: the center frame substitutes and its similarity
-    is zeroed (post_processing.py:188-193, 267-268).
+    is zeroed (post_processing.py:188-193, 267-268). `t_valid` marks the real
+    frame count when the cache is padded (the vmapped per-video path); rows
+    at or past `t_valid` produce unspecified boxes the caller discards.
     """
     t, k, c = cache.feats.shape
+    t_real = t if t_valid is None else t_valid
     half = ref_frames // 2
     offsets = jnp.arange(-half, half + 1)                 # (R,)
     frame_idx = jnp.arange(t)[:, None] + offsets[None, :]  # (T, R)
-    valid = (frame_idx >= 0) & (frame_idx < t)
+    valid = (frame_idx >= 0) & (frame_idx < t_real)
     frame_idx = jnp.clip(frame_idx, 0, t - 1)
 
     neigh_feats = cache.feats[frame_idx]     # (T, R, K, C)
@@ -85,3 +89,42 @@ def temporal_fuse(cache: FrameCache, ref_frames: int) -> jnp.ndarray:
     fused = jnp.sum(w * ref_score, axis=2)               # (T, K)
     best = jnp.argmax(fused, axis=1)                     # (T,)
     return jnp.take_along_axis(cache.boxes, best[:, None, None], axis=1)[:, 0]
+
+
+def fuse_per_video(cache: FrameCache, video_ids, ref_frames: int) -> jnp.ndarray:
+    """Temporal fusion over a multi-video cache, respecting video boundaries.
+
+    The reference keys cache files by video directory so fusion never mixes
+    videos (test_DCNet.py:641-648, post_processing.py:181-202: a neighbor
+    outside the video is 'missing' and its similarity zeroed). `video_ids`
+    gives each cache row's video; rows of each video are padded to the
+    longest video and fused in one vmapped pass. Returns (T, 4) fused boxes
+    in the original row order.
+    """
+    import numpy as np
+
+    video_ids = np.asarray(jax.device_get(video_ids))
+    uids = list(dict.fromkeys(video_ids.tolist()))
+    groups = [np.nonzero(video_ids == u)[0] for u in uids]
+    tmax = max(len(g) for g in groups)
+
+    def pad(arr, idxs):
+        arr = np.asarray(arr)[idxs]
+        width = [(0, tmax - len(idxs))] + [(0, 0)] * (arr.ndim - 1)
+        return np.pad(arr, width)
+
+    boxes = jnp.asarray(np.stack([pad(cache.boxes, g) for g in groups]))
+    scores = jnp.asarray(np.stack([pad(cache.scores, g) for g in groups]))
+    feats = jnp.asarray(np.stack([pad(cache.feats, g) for g in groups]))
+    lengths = jnp.asarray([len(g) for g in groups], jnp.int32)
+
+    fused = jax.vmap(
+        lambda b, s, f, n: temporal_fuse(FrameCache(b, s, f), ref_frames,
+                                         t_valid=n)
+    )(boxes, scores, feats, lengths)
+
+    out = np.zeros((len(video_ids), 4), np.float32)
+    fused_np = np.asarray(fused)
+    for vi, g in enumerate(groups):
+        out[g] = fused_np[vi, :len(g)]
+    return jnp.asarray(out)

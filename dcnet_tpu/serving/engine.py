@@ -90,24 +90,36 @@ class GroundingEngine:
                        mask=None) -> StreamState:
         """Hot-swap referring phrases for some or all streams mid-flight.
 
-        word_ids: (N, L); mask: (N,) bool — True where the stream's phrase
-        changed (None = all). Re-encodes language only once per change and
-        resets the affected streams' score caches (their history grounded a
-        different phrase)."""
+        word_ids: (N, L); mask: (N,) host bool array — True where the
+        stream's phrase changed (None = all). The text encoder runs only on
+        the changed streams (compacted to an (M, L) batch, results scattered
+        back into the language cache), and the affected streams' score
+        caches reset (their history grounded a different phrase). Distinct
+        change-counts M trigger one jit specialization each; query swaps are
+        rare relative to frame steps, so this trades a few recompiles for an
+        N/M encoder saving on every swap."""
         word_ids = jnp.asarray(word_ids)
         if mask is None:
-            mask = jnp.ones((self.n_streams,), bool)
-        mask = jnp.asarray(mask)
-        new_ids = jnp.where(mask[:, None], word_ids, state.word_ids)
-        language = self._encode_lang(self.variables, new_ids)
-        keep = ~mask
+            changed = np.arange(self.n_streams)
+        else:
+            changed = np.nonzero(np.asarray(mask))[0]
+        if changed.size == 0:
+            return state
+        changed = jnp.asarray(changed, jnp.int32)
+        changed_ids = word_ids[changed]
+        lang_new = self._encode_lang(self.variables, changed_ids)
+        language = tuple(
+            full.at[changed].set(part.astype(full.dtype))
+            for full, part in zip(state.language, lang_new))
+        keep = jnp.ones((self.n_streams,), jnp.float32).at[changed].set(0.0)
         return state._replace(
-            word_ids=new_ids,
-            language=tuple(language),
+            word_ids=state.word_ids.at[changed].set(changed_ids),
+            language=language,
             cache_boxes=state.cache_boxes * keep[:, None, None, None],
             cache_scores=state.cache_scores * keep[:, None, None],
             cache_feats=state.cache_feats * keep[:, None, None, None],
-            frames_seen=state.frames_seen * keep,
+            frames_seen=(state.frames_seen
+                         * keep.astype(state.frames_seen.dtype)),
         )
 
     # ------------------------------------------------------------------

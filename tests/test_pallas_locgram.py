@@ -23,6 +23,24 @@ def test_fused_loc_gram_matches_einsum():
     np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-5)
 
 
+def test_fused_loc_gram_production_shape_tiled():
+    """P=1344 (image 256): the row-tiled path (row_tile=336, 4 grid steps)
+    must agree with the einsum composition at the production shape."""
+    rng = np.random.RandomState(2)
+    B, P, E, C = 1, 1344, 8, 512
+    ce = rng.randn(B, P, E).astype(np.float32)
+    ce = ce / np.linalg.norm(ce, axis=2, keepdims=True)
+    obj = rng.randn(B, P).astype(np.float32)
+    w = rng.randn(P, C).astype(np.float32) * 0.05
+    b = rng.randn(C).astype(np.float32)
+
+    got = fused_loc_gram(jnp.asarray(ce), jnp.asarray(obj), jnp.asarray(w),
+                         jnp.asarray(b), interpret=True)
+    gram = np.einsum("bpc,bqc->bpq", ce, ce) * obj[:, None, :]
+    ref = np.maximum(np.einsum("bpq,qc->bpc", gram, w) + b, 0.0)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-3, atol=1e-3)
+
+
 def test_fold_dense_bn():
     rng = np.random.RandomState(1)
     P, C = 10, 6

@@ -91,14 +91,16 @@ class _RefModel(nn.Module):
     """Reference grounding_model mirror (full/LSTM variant) over the mini
     backbone defs, exposing the reference state_dict key namespace."""
 
-    def __init__(self, cfg: DCNetConfig):
+    def __init__(self, cfg: DCNetConfig, defs=DEFS):
         super().__init__()
+        self.defs = defs
+        self.cfg = cfg
         emb, textdim, embdim = cfg.emb_size, cfg.textdim, 512
 
         visumodel = nn.Module()
         visumodel.module_list = nn.ModuleList()
         cap_channels = []
-        for i, ld in enumerate(DEFS):
+        for i, ld in enumerate(defs):
             m = nn.Sequential()
             if ld.type in ("convolutional", "yoloconvolutional"):
                 if ld.type == "yoloconvolutional":
@@ -149,7 +151,7 @@ class _RefModel(nn.Module):
 
     def backbone(self, x):
         captured, outs = [], []
-        for i, ld in enumerate(DEFS):
+        for i, ld in enumerate(self.defs):
             if ld.type in ("convolutional", "yoloconvolutional"):
                 if ld.type == "yoloconvolutional":
                     captured.append(x)
@@ -200,8 +202,9 @@ class _RefModel(nn.Module):
         ce = self.loc_embedding(coord_flat.reshape(-1, 8))
         ce = F.normalize(ce.reshape(b, -1, 8), p=2, dim=2)
         gram = torch.bmm(ce, ce.permute(0, 2, 1)) * obj_map[:, None, :]
-        rel = self.loc_text_embedding(gram.reshape(-1, CFG.all_positions))
-        rel = F.normalize(rel.reshape(b, CFG.all_positions, -1), p=2, dim=2)
+        rel = self.loc_text_embedding(gram.reshape(-1, self.cfg.all_positions))
+        rel = F.normalize(rel.reshape(b, self.cfg.all_positions, -1), p=2,
+                          dim=2)
         loc_map = torch.einsum("bpc,bc->bp", rel, flang_loc)
         lo, hi = loc_map.min(1, keepdim=True)[0], loc_map.max(1, keepdim=True)[0]
         loc_map = (loc_map - lo) / (hi - lo + 1e-6)

@@ -60,6 +60,85 @@ def test_temporal_fuse_matches_oracle():
     np.testing.assert_allclose(got, ref, rtol=1e-4)
 
 
+def test_fuse_per_video_respects_boundaries():
+    """Frames of video A never borrow candidates from video B: per-video
+    fusion equals fusing each video's cache separately, and differs from the
+    flat concatenated fuse at the boundary."""
+    from dcnet_tpu.eval.temporal import fuse_per_video
+
+    rng = np.random.RandomState(2)
+    ta, tb, K, C = 6, 5, 4, 16
+    T = ta + tb
+    boxes = rng.rand(T, K, 4).astype(np.float32) * 64
+    scores = rng.rand(T, K).astype(np.float32)
+    feats = rng.randn(T, K, C).astype(np.float32)
+    vids = np.asarray([0] * ta + [1] * tb, np.int32)
+    cache = FrameCache(jnp.asarray(boxes), jnp.asarray(scores),
+                       jnp.asarray(feats))
+
+    got = np.asarray(fuse_per_video(cache, vids, ref_frames=5))
+
+    # oracle: run the per-frame reference transcription per video
+    ref_a = _oracle_fuse(boxes[:ta], scores[:ta], feats[:ta], 5)
+    ref_b = _oracle_fuse(boxes[ta:], scores[ta:], feats[ta:], 5)
+    np.testing.assert_allclose(got[:ta], ref_a, rtol=1e-4)
+    np.testing.assert_allclose(got[ta:], ref_b, rtol=1e-4)
+
+    # the flat (boundary-ignoring) fuse must disagree somewhere near the
+    # boundary for this random cache — guards against fuse_per_video
+    # silently degrading to the old behavior
+    flat = np.asarray(temporal_fuse(cache, ref_frames=5))
+    assert not np.allclose(flat[ta - 2:ta + 2], got[ta - 2:ta + 2])
+
+
+def test_fuse_per_video_interleaved_ids():
+    """Row order is preserved even when video ids are not contiguous."""
+    from dcnet_tpu.eval.temporal import fuse_per_video
+
+    rng = np.random.RandomState(3)
+    T, K, C = 8, 3, 8
+    boxes = rng.rand(T, K, 4).astype(np.float32)
+    scores = rng.rand(T, K).astype(np.float32)
+    feats = rng.randn(T, K, C).astype(np.float32)
+    cache = FrameCache(jnp.asarray(boxes), jnp.asarray(scores),
+                       jnp.asarray(feats))
+    vids = np.asarray([0, 1, 0, 1, 0, 1, 0, 1], np.int32)
+    got = np.asarray(fuse_per_video(cache, vids, ref_frames=3))
+    for u in (0, 1):
+        idx = np.nonzero(vids == u)[0]
+        ref = _oracle_fuse(boxes[idx], scores[idx], feats[idx], 3)
+        np.testing.assert_allclose(got[idx], ref, rtol=1e-4)
+
+
+def test_reference_cache_roundtrip(tmp_path):
+    """Our FrameCache survives the reference's per-frame .pth format and
+    feeds the fuser identically (mixed-pipeline interop)."""
+    from dcnet_tpu.eval.ref_cache import (
+        read_reference_cache, write_reference_cache)
+
+    rng = np.random.RandomState(4)
+    T, K, C = 5, 4, 8
+    cache = FrameCache(
+        jnp.asarray(rng.rand(T, K, 4).astype(np.float32) * 300),
+        jnp.asarray(rng.rand(T, K).astype(np.float32)),
+        jnp.asarray(rng.randn(T, K, C).astype(np.float32)))
+    paths = [f"vid_{t % 2}/frame_{t:04d}.JPEG" for t in range(T)]
+    write_reference_cache(str(tmp_path), paths, cache)
+    # files land under the video dir with the reference naming scheme
+    assert (tmp_path / "vid_0" / "frame_0000_0.pth").exists()
+
+    back = read_reference_cache(str(tmp_path), paths)
+    np.testing.assert_allclose(np.asarray(back.boxes), np.asarray(cache.boxes),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(back.scores),
+                               np.asarray(cache.scores), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(back.feats), np.asarray(cache.feats),
+                               rtol=1e-6)
+    got = np.asarray(temporal_fuse(back, ref_frames=3))
+    want = np.asarray(temporal_fuse(cache, ref_frames=3))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
 def test_build_frame_cache_features_match_peak_cells():
     rng = np.random.RandomState(1)
     T, k = 3, 4
