@@ -41,6 +41,12 @@ def main():
                     help="benchmark the streaming multi-query engine instead")
     ap.add_argument("--train", action="store_true",
                     help="benchmark the training step instead")
+    ap.add_argument("--frames", type=int, default=2,
+                    help="clip length k for --train (2 = reference recipe; "
+                         "8 = BASELINE config 2 read literally; k>2 uses "
+                         "the ring-pairing generalization)")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize backbone activations in backward")
     ap.add_argument("--single", action="store_true",
                     help="BASELINE config 1: ReferIt-style single-image "
                          "grounding, batch 1 on CPU, vs a measured torch "
@@ -71,6 +77,7 @@ def main():
     cfg = DCNetConfig(
         image_size=size, corpus_size=1000,
         compute_dtype="bfloat16" if dtype == jnp.bfloat16 else "float32",
+        n_frames_train=args.frames, remat_backbone=args.remat,
         interframe_top_k=min(30, (size // 32) ** 4),
         interframe_neg_n=min(10, (size // 32) ** 2 - 1),
         crossmodal_neg_n=min(5, (size // 32) ** 2 - 1))
@@ -81,17 +88,18 @@ def main():
     images = jnp.asarray(
         rng.rand(clips * n_frame, size, size, 3).astype(np.float32))
     word_ids = jnp.asarray(rng.randint(1, 1000, (clips, 20)).astype(np.int32))
+    k_init = cfg.n_frames_train  # __call__ reshapes to k-frame clips
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
          "dropout": jax.random.PRNGKey(2)},
-        images[:2], word_ids[:1].repeat(2, axis=0), train=False)
+        images[:k_init], word_ids[:1].repeat(k_init, axis=0), train=False)
 
     if args.train:
-        # reference recipe shape: 2-frame clips, batch = clips
-        # (train_DCNet.py:584, README.md:34)
+        # reference recipe shape: k-frame clips, batch = clips
+        # (train_DCNet.py:584, README.md:34; k=2 default)
         from dcnet_tpu.train.state import create_train_state
         from dcnet_tpu.train.step import train_step
-        n_imgs = 2 * clips
+        n_imgs = args.frames * clips
         batch = {
             "images": jnp.asarray(
                 rng.rand(n_imgs, size, size, 3).astype(np.float32)),
@@ -104,6 +112,17 @@ def main():
         }
         state = create_train_state(model, cfg, jax.random.PRNGKey(0),
                                    steps_per_epoch=1000, sample_batch=batch)
+
+        # XLA cost analysis of the whole compiled step -> honest MFU
+        flops = None
+        try:
+            compiled = train_step.lower(model, cfg, state, batch,
+                                        jax.random.PRNGKey(1)).compile()
+            ca = compiled.cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            flops = float(ca.get("flops", 0.0)) or None
+        except Exception:
+            pass
 
         def run_train(n, state):
             t0 = time.perf_counter()
@@ -125,7 +144,14 @@ def main():
             "value": round(fps, 2),
             "unit": "frames/s",
             "vs_baseline": round(fps / (A100_REFERENCE_FPS_ESTIMATE / 3.0), 3),
-            "extra": {"clip_batch": clips, "step_ms": round(dt_step * 1e3, 2),
+            "extra": {"clip_batch": clips, "n_frame": args.frames,
+                      "step_ms": round(dt_step * 1e3, 2),
+                      "remat": args.remat,
+                      # v5e bf16 peak ~= 197 TFLOP/s; MFU from the XLA cost
+                      # analysis of the full compiled step
+                      "step_tflops": round(flops / 1e12, 3) if flops else None,
+                      "mfu_pct_v5e": round(
+                          flops / dt_step / 197e12 * 100, 1) if flops else None,
                       "image_size": size, "dtype": str(dtype.__name__)},
         }))
         return

@@ -18,8 +18,13 @@ import jax
 
 # DCNET_PLATFORM=cpu forces the host backend (this image's axon
 # sitecustomize overrides the standard JAX_PLATFORMS env var).
+# DCNET_CPU_DEVICES=N provisions a virtual N-device CPU mesh (XLA_FLAGS is
+# likewise ignored once the sitecustomize has run).
 if os.environ.get("DCNET_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["DCNET_PLATFORM"])
+if os.environ.get("DCNET_CPU_DEVICES"):
+    jax.config.update("jax_num_cpu_devices",
+                      int(os.environ["DCNET_CPU_DEVICES"]))
 
 import numpy as np
 

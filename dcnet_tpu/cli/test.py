@@ -43,6 +43,10 @@ def main(argv=None):
                         help="with --cache, also write the reference's "
                              "per-frame .pth files (test_DCNet.py:641-655) "
                              "so post_processing.py can consume our pass 1")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard the clip batch over all devices (the "
+                             "reference's eval-time DataParallel, "
+                             "test_DCNet.py:273, as a 'data' mesh)")
     parser.add_argument("--save_plot", action="store_true",
                         help="write qualitative JPEGs (test_DCNet.py:985-988)")
     args = parser.parse_args(argv)
@@ -73,11 +77,40 @@ def main(argv=None):
     k = args.num_frame_k
     center = k // 2
 
+    mesh = None
+    if args.data_parallel and len(jax.devices()) > 1:
+        from dcnet_tpu.parallel.mesh import (
+            batch_sharding, make_mesh, replicate_state)
+        n_dev = len(jax.devices())
+        assert args.batch_size % n_dev == 0, \
+            f"--batch_size {args.batch_size} not divisible by {n_dev} devices"
+        mesh = make_mesh(n_data=n_dev, n_model=1)
+        state = state.replace(
+            params=replicate_state(mesh, state.params),
+            batch_stats=replicate_state(mesh, state.batch_stats))
+
     @jax.jit
     def forward(params, batch_stats, images, word_ids):
         return model.apply(
             {"params": params, "batch_stats": batch_stats},
             images, word_ids, n_frame=k, method=DCNet.eval_clip)
+
+    def put(images_np, word_ids_np):
+        """Pad the clip batch to --batch_size and shard it over the mesh
+        (clips stay device-contiguous: B*k rows split into B/n_dev chunks).
+        Returns (images, word_ids, n_valid)."""
+        n_clips = word_ids_np.shape[0]
+        if mesh is None:
+            return jnp.asarray(images_np), jnp.asarray(word_ids_np), n_clips
+        pad = args.batch_size - n_clips
+        if pad:
+            images_np = np.concatenate(
+                [images_np, np.repeat(images_np[-k:], pad, axis=0)])
+            word_ids_np = np.concatenate(
+                [word_ids_np, np.repeat(word_ids_np[-1:], pad, axis=0)])
+        sh = batch_sharding(mesh)
+        return (jax.device_put(images_np, sh),
+                jax.device_put(word_ids_np, sh), n_clips)
 
     acc, miou = AverageMeter(), AverageMeter()
     cache_rows = []
@@ -88,9 +121,12 @@ def main(argv=None):
     # test_DCNet.py:263; here the whole pipeline is vectorized)
     for batch in batch_iterator(ds, args.batch_size, drop_last=False,
                                 num_workers=args.workers):
-        images = jnp.asarray(batch["images"].reshape(-1, *batch["images"].shape[2:]))
-        word_ids = jnp.asarray(batch["word_ids"][:, center])
+        images, word_ids, n_valid = put(
+            batch["images"].reshape(-1, *batch["images"].shape[2:]),
+            batch["word_ids"][:, center])
         out = forward(state.params, state.batch_stats, images, word_ids)
+        if n_valid != word_ids.shape[0]:  # drop padded clips
+            out = jax.tree_util.tree_map(lambda x: x[:n_valid], out)
 
         bbox = jnp.clip(jnp.asarray(batch["bbox"][:, center]), 0, cfg.image_size - 1)
         dec = decode_best(out.outbox, cfg)

@@ -242,34 +242,62 @@ class DCNet(nn.Module):
 
     def __call__(self, images: jnp.ndarray, word_ids: jnp.ndarray,
                  train: bool = True) -> TrainOutputs:
-        """images: (2B, H, W, 3) interleaved frame pairs; word_ids: (2B, L)."""
-        cfg = self.cfg
-        b2 = images.shape[0]
-        b = b2 // 2
-        fvisu = self._visual_features(images, train)
-        # (2B,...) -> frame split (B,...) x2 (DCNet_model.py:365-374)
-        input1 = [f.reshape(b, 2, *f.shape[1:])[:, 0] for f in fvisu]
-        input2 = [f.reshape(b, 2, *f.shape[1:])[:, 1] for f in fvisu]
+        """images: (kB, H, W, 3) interleaved k-frame clips; word_ids (kB, L).
 
-        # inter-frame correspondence sampling on the coarsest scale
+        k = cfg.n_frames_train. k=2 is the reference recipe
+        (vid_loader.py:211 num_frame_k=2): dual-direction co-attention
+        between the pair, both directions off one logits matrix. k>2
+        generalizes by ring pairing — frame j attends to frame (j+1) mod k —
+        which reduces exactly to the k=2 dataflow when k=2 (the ring's two
+        ordered pairs are the two directions) while keeping co-attention
+        cost linear in k. Inter-frame contrastive pairs are sampled per
+        ring edge (the reference samples per pair, DCNet_model.py:381-430).
+        """
+        cfg = self.cfg
+        k_frames = cfg.n_frames_train
+        bk = images.shape[0]
+        b = bk // k_frames
+        fvisu = self._visual_features(images, train)
+
         if train:
             rng_inter = self.make_rng("sampling")
             rng_cross = self.make_rng("sampling")
         else:
             rng_inter = rng_cross = jax.random.PRNGKey(0)
-        interframe = interframe_pairs(
-            input1[0], input2[0], cfg.interframe_top_k, cfg.interframe_neg_n,
-            rng_inter)
 
-        # dual-direction co-attention + corr conv per scale
-        corr_feat = []
-        for i in range(3):
-            a1, a2 = self._coattn(input1[i], input2[i])
-            c1 = jnp.concatenate([input1[i], a1], axis=-1)  # (B, h, w, 2C)
-            c2 = jnp.concatenate([input2[i], a2], axis=-1)
-            both = jnp.stack([c1, c2], axis=1).reshape(b2, *c1.shape[1:])
-            cf = self.corr_conv[i](both, train)
-            corr_feat.append(l2_normalize(cf, axis=-1))
+        if k_frames == 2:
+            # (2B,...) -> frame split (B,...) x2 (DCNet_model.py:365-374)
+            input1 = [f.reshape(b, 2, *f.shape[1:])[:, 0] for f in fvisu]
+            input2 = [f.reshape(b, 2, *f.shape[1:])[:, 1] for f in fvisu]
+            interframe = interframe_pairs(
+                input1[0], input2[0], cfg.interframe_top_k,
+                cfg.interframe_neg_n, rng_inter)
+            # dual-direction co-attention + corr conv per scale
+            corr_feat = []
+            for i in range(3):
+                a1, a2 = self._coattn(input1[i], input2[i])
+                c1 = jnp.concatenate([input1[i], a1], axis=-1)  # (B,h,w,2C)
+                c2 = jnp.concatenate([input2[i], a2], axis=-1)
+                both = jnp.stack([c1, c2], axis=1).reshape(bk, *c1.shape[1:])
+                cf = self.corr_conv[i](both, train)
+                corr_feat.append(l2_normalize(cf, axis=-1))
+        else:
+            # ring pairing: one batched single-direction co-attention per
+            # scale over all kB frames (neighbor = next frame in the clip)
+            def ring_next(f):
+                per_clip = f.reshape(b, k_frames, *f.shape[1:])
+                rolled = jnp.roll(per_clip, -1, axis=1)
+                return rolled.reshape(bk, *f.shape[1:])
+
+            interframe = interframe_pairs(
+                fvisu[0], ring_next(fvisu[0]), cfg.interframe_top_k,
+                cfg.interframe_neg_n, rng_inter)
+            corr_feat = []
+            for i in range(3):
+                att, _ = self._coattn(fvisu[i], ring_next(fvisu[i]))
+                cf = self.corr_conv[i](
+                    jnp.concatenate([fvisu[i], att], axis=-1), train)
+                corr_feat.append(l2_normalize(cf, axis=-1))
 
         flang, context, embedded = self._language(word_ids, train)
 
@@ -279,7 +307,7 @@ class DCNet(nn.Module):
         # cross-modal correspondence on the coarsest scale
         # (DCNet_model.py:624-637): patch-axis-normalized visual patches vs
         # nearest-downsampled language context, smoothed by Conv1d + softmax.
-        vit = fvisu[0].reshape(b2, -1, cfg.emb_size)       # (2B, P, C)
+        vit = fvisu[0].reshape(bk, -1, cfg.emb_size)       # (kB, P, C)
         vit = jnp.swapaxes(vit, 1, 2)                      # (2B, C, P)
         vit = l2_normalize(vit, axis=2)                    # normalize over patches
         if cfg.use_lstm:

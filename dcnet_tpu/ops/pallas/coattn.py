@@ -14,8 +14,11 @@ The kernel streams row tiles of q through VMEM — logits (R, P) live only
 on-chip, softmax is exact per tile (full rows), and the (P, P) attention
 matrix never touches HBM.
 
-Backward falls back to the einsum composition via recompute (custom_vjp),
-so training uses the kernel too.
+Backward is a fused Pallas kernel as well (custom_vjp): it recomputes the
+row-tile softmax in VMEM and emits (dq, dkv) directly — the (P, P) logits,
+attention weights, and dS matrices never touch HBM in either pass. dkv is
+accumulated across row tiles inside the kernel (the TPU grid is sequential,
+so the (P, C) accumulator block stays resident per batch element).
 """
 
 from __future__ import annotations
@@ -74,6 +77,86 @@ def _attend(q: jnp.ndarray, kv: jnp.ndarray, temperature: float,
     )(q, kv)
 
 
+def _attend_bwd_kernel(t, q_ref, kv_ref, g_ref, dq_ref, dkv_ref):
+    """VJP of one `_attend` direction for one (batch, row-tile) grid cell.
+
+    o = W kv with W = softmax_rows(S), S = t * q kv^T:
+        dW  = g kv^T
+        dS  = W (dW - rowsum(dW * W))       (softmax backward)
+        dq  = t * dS kv
+        dkv = t * dS^T q + W^T g            (accumulated over row tiles)
+    """
+    j = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32)     # (R, C)
+    kv = kv_ref[0].astype(jnp.float32)   # (P, C)
+    g = g_ref[0].astype(jnp.float32)     # (R, C)
+
+    s = jax.lax.dot_general(
+        q, kv, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * t          # (R, P)
+    w = jax.nn.softmax(s, axis=1)
+    dw = jax.lax.dot_general(
+        g, kv, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (R, P)
+    ds = w * (dw - jnp.sum(dw * w, axis=1, keepdims=True))
+
+    dq_ref[0] = (t * jnp.dot(ds, kv, preferred_element_type=jnp.float32)
+                 ).astype(dq_ref.dtype)
+    dkv_part = (t * jax.lax.dot_general(
+        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(
+            w, g, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))         # (P, C)
+
+    @pl.when(j == 0)
+    def _init():
+        dkv_ref[0] = dkv_part.astype(dkv_ref.dtype)
+
+    @pl.when(j > 0)
+    def _acc():
+        dkv_ref[0] += dkv_part.astype(dkv_ref.dtype)
+
+
+def _attend_bwd(q: jnp.ndarray, kv: jnp.ndarray, temperature: float,
+                g: jnp.ndarray, interpret: bool = False):
+    """Fused VJP of `_attend(q, kv)`. Returns (dq, dkv), fp32-accumulated
+    then cast to the input dtypes."""
+    b, p, c = q.shape
+    row_tile = min(p, 256)
+    assert p % row_tile == 0
+    kern = functools.partial(_attend_bwd_kernel, temperature)
+    dq, dkv = pl.pallas_call(
+        kern,
+        grid=(b, p // row_tile),
+        in_specs=[
+            pl.BlockSpec((1, row_tile, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, row_tile, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, row_tile, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, p, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, p, c), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * 5 * p * p * c,
+            bytes_accessed=b * 5 * p * c * 4,
+            transcendentals=b * p * p,
+        ),
+        interpret=interpret,
+    )(q, kv, g)
+    return dq.astype(q.dtype), dkv.astype(kv.dtype)
+
+
 def _reference(f1, f2, temperature):
     logits = jnp.einsum("bpc,bqc->bpq", f1, f2) * temperature
     w1 = jax.nn.softmax(logits, axis=2)
@@ -99,8 +182,12 @@ def _fwd(f1, f2, temperature, interpret):
 
 def _bwd(temperature, interpret, res, g):
     f1, f2 = res
-    _, vjp = jax.vjp(lambda a, b: _reference(a, b, temperature), f1, f2)
-    return vjp(g)
+    g1, g2 = g
+    # o1 = attend(f1, f2), o2 = attend(f2, f1):
+    # df1 = dq(dir 1) + dkv(dir 2); df2 = dkv(dir 1) + dq(dir 2)
+    dq1, dkv1 = _attend_bwd(f1, f2, temperature, g1, interpret)
+    dq2, dkv2 = _attend_bwd(f2, f1, temperature, g2, interpret)
+    return dq1 + dkv2, dkv1 + dq2
 
 
 coattention_fused.defvjp(_fwd, _bwd)

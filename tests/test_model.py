@@ -143,3 +143,75 @@ def test_light_variant_forward():
     assert "out0" not in variables["params"]["fcn_0"]
     out = model.apply(variables, images, ids, train=False)
     assert out.outbox[0].shape == (4, 3, 5, 2, 2)
+
+
+def test_kframe_train_forward_ring():
+    """k=3 train forward (ring pairing): correct shapes, and the ring is
+    rotation-equivariant — rotating a clip's frames rotates corr_feat/outbox
+    rows the same way (frame j's features depend only on frames j, j+1)."""
+    import dataclasses
+    from dcnet_tpu.models.darknet import mini_backbone_defs
+
+    cfg = dataclasses.replace(CFG, n_frames_train=3)
+    model = DCNet(cfg=cfg, backbone_defs=mini_backbone_defs())
+    rng = np.random.RandomState(5)
+    images = jnp.asarray(rng.rand(3, 64, 64, 3).astype(np.float32))  # 1 clip
+    word_ids = jnp.asarray(rng.randint(1, 50, (3, 20)).astype(np.int32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)},
+        images, word_ids, train=False)
+
+    def fwd(imgs, ids):
+        out, _ = model.apply(
+            variables, imgs, ids, train=True,
+            rngs={"sampling": jax.random.PRNGKey(3),
+                  "dropout": jax.random.PRNGKey(4)},
+            mutable=["batch_stats"])
+        return out
+
+    out = fwd(images, word_ids)
+    assert [o.shape for o in out.outbox] == [(3, 3, 5, g, g)
+                                             for g in cfg.grids]
+    # interframe samples: one per ring edge => batch 3 (kB)
+    assert out.interframe.q.shape[0] == 3
+
+    # rotate the clip by one frame; language rows rotate with it
+    rot_img = jnp.roll(images, -1, axis=0)
+    rot_ids = jnp.roll(word_ids, -1, axis=0)
+    out_rot = fwd(rot_img, rot_ids)
+    for s in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out_rot.corr_feat[s]),
+            np.asarray(jnp.roll(out.corr_feat[s], -1, axis=0)),
+            rtol=2e-4, atol=2e-5)
+
+
+def test_kframe_train_step_end_to_end():
+    """Full k=3 train step: finite 5-loss sum, params update."""
+    import dataclasses
+    from dcnet_tpu.models.darknet import mini_backbone_defs
+    from dcnet_tpu.train.state import create_train_state
+    from dcnet_tpu.train.step import train_step
+
+    cfg = dataclasses.replace(CFG, n_frames_train=3)
+    model = DCNet(cfg=cfg, backbone_defs=mini_backbone_defs())
+    rng = np.random.RandomState(6)
+    n = 6  # 2 clips x 3 frames
+    batch = {
+        "images": jnp.asarray(rng.rand(n, 64, 64, 3).astype(np.float32)),
+        "word_ids": jnp.asarray(rng.randint(1, 50, (n, 20)).astype(np.int32)),
+        "bbox": jnp.asarray(np.stack([
+            rng.rand(n) * 10, rng.rand(n) * 10,
+            rng.rand(n) * 20 + 30, rng.rand(n) * 20 + 30], 1)
+            .astype(np.float32)),
+    }
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               steps_per_epoch=10, sample_batch=batch)
+    new_state, metrics = train_step(model, cfg, state, batch,
+                                    jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1
+    before = np.asarray(state.params["fcn_0"]["out1"]["kernel"])
+    after = np.asarray(new_state.params["fcn_0"]["out1"]["kernel"])
+    assert not np.allclose(before, after)

@@ -48,3 +48,23 @@ def test_fused_gradients_match():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-5)
+
+
+def test_fused_gradients_multi_tile_accumulation():
+    """P > row_tile (256): the backward kernel's dkv accumulation across
+    row tiles must match the einsum VJP."""
+    rng = np.random.RandomState(2)
+    B, P, C = 1, 512, 8
+    f1 = jnp.asarray(rng.randn(B, P, C).astype(np.float32) * 0.2)
+    f2 = jnp.asarray(rng.randn(B, P, C).astype(np.float32) * 0.2)
+    g1 = jnp.asarray(rng.randn(B, P, C).astype(np.float32))
+    g2 = jnp.asarray(rng.randn(B, P, C).astype(np.float32))
+
+    _, vjp_fused = jax.vjp(
+        lambda a, b: coattention_fused(a, b, 10.0, True), f1, f2)
+    _, vjp_ref = jax.vjp(lambda a, b: _reference(a, b, 10.0), f1, f2)
+    got = vjp_fused((g1, g2))
+    want = vjp_ref((g1, g2))
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
