@@ -96,19 +96,26 @@ def main(argv=None):
         max_steps = args.max_steps or None
         from dcnet_tpu.data.vid import prefetch_to_device
         from dcnet_tpu.parallel.mesh import batch_sharding
+        # per-host input sharding (DistributedSampler analog): each process
+        # draws its own slice of the global batch, reassembled on the mesh
+        # by place_host_batch
+        n_hosts, host = jax.process_count(), jax.process_index()
+        per_host_bs = max(cfg.batch_size // n_hosts, 1)
         for epoch in range(start_epoch, cfg.nb_epoch):
             train_ds.set_epoch(epoch)
             batches = prefetch_to_device(
                 map(flatten_clip_batch,
-                    batch_iterator(train_ds, cfg.batch_size, shuffle=True,
+                    batch_iterator(train_ds, per_host_bs, shuffle=True,
                                    seed=cfg.seed + epoch,
+                                   num_shards=n_hosts, shard_index=host,
                                    num_workers=args.workers)),
                 size=2, sharding=batch_sharding(mesh))
             state = train_epoch(model, cfg, state, batches, rng, epoch,
                                 print_freq=args.print_freq,
                                 max_steps=max_steps)
             val_batches = batch_iterator(
-                val_ds, cfg.batch_size, num_workers=args.workers)
+                val_ds, per_host_bs, num_shards=n_hosts, shard_index=host,
+                num_workers=args.workers)
             result = validate(model, cfg, state, val_batches,
                               device_put=put, max_steps=max_steps)
             print(f"accu {result['acc50']:.4f} miou {result['miou']:.4f}")

@@ -106,8 +106,11 @@ class DCNetConfig:
     # TPU-specific
     compute_dtype: str = "float32"  # "bfloat16" for the fast path
     use_fused_coattn: bool = True   # Pallas kernel for co-attention on TPU
-    use_fused_locgram: bool = True  # Pallas kernel for the location Gram
-                                    # chain (eval path)
+    use_fused_locgram: bool = True  # retained for config compat; the
+                                    # location-Gram chain now always uses the
+                                    # exact rank-8 factorization
+                                    # (heads.DenseBNReLU gram_factors), which
+                                    # supersedes the Pallas kernel
     tp_internals: bool = False      # annotate the big internal matrices
                                     # (location Gram, co-attention logits)
                                     # for sharding over a 'model' mesh axis

@@ -223,11 +223,12 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
     _END = object()
 
     def put(batch):
+        from dcnet_tpu.parallel.mesh import place_host_batch
         dev = {}
         for k, v in batch.items():
             if isinstance(v, np.ndarray) and v.dtype != object:
-                dev[k] = (jax.device_put(v, sharding) if sharding is not None
-                          else jax.device_put(v))
+                dev[k] = (place_host_batch(sharding, v)
+                          if sharding is not None else jax.device_put(v))
             else:
                 dev[k] = v
         q.put(dev)

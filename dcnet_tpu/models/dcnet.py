@@ -190,31 +190,15 @@ class DCNet(nn.Module):
 
         coord_emb = self.loc_embedding(coord_map.reshape(-1, 8), train)
         coord_emb = l2_normalize(coord_emb.reshape(b, -1, 8), axis=2)
-        use_fused_gram = (cfg.use_fused_locgram and not train
-                          and not self.is_initializing()
-                          and jax.default_backend() == "tpu")
-        if use_fused_gram:
-            # fused Gram chain: the (B, P, P) intermediate stays in VMEM;
-            # eval BN folded into the projection (ops/pallas/locgram.py)
-            from dcnet_tpu.ops.pallas.locgram import (
-                fold_dense_bn, fused_loc_gram)
-            w_f, b_f = fold_dense_bn(
-                self.variables["params"]["loc_text_embedding"],
-                self.variables["batch_stats"]["loc_text_embedding"])
-            rel = fused_loc_gram(coord_emb, obj_map, w_f, b_f)
-        else:
-            gram = jnp.einsum("bpc,bqc->bpq", coord_emb, coord_emb)  # (B,P,P)
-            if cfg.tp_internals:
-                # shard the all_positions^2 relation matrix over the 'model'
-                # mesh axis; GSPMD inserts the collectives (scaling-book
-                # recipe: annotate, let XLA place the all-gathers)
-                from jax.sharding import PartitionSpec as P
-                gram = jax.lax.with_sharding_constraint(
-                    gram, P("data", None, "model"))
-            gram = gram * obj_map[:, None, :]
-            rel = self.loc_text_embedding(
-                gram.reshape(-1, cfg.all_positions), train)
-            rel = rel.reshape(b, cfg.all_positions, -1)
+        # The (P, P) coordinate Gram (1344^2 at 256px, reference hot loop #5,
+        # DCNet_model.py:585-597) has rank <= 8, so the whole
+        # Gram -> column-scale -> project chain factors exactly through the
+        # 8-dim side (see DenseBNReLU.gram_factors) — no quadratic
+        # intermediate on either the train or eval path. Supersedes the
+        # fused Pallas kernel in ops/pallas/locgram.py.
+        rel = self.loc_text_embedding(
+            None, train, gram_factors=(coord_emb, obj_map))
+        rel = rel.reshape(b, cfg.all_positions, -1)
         rel = l2_normalize(rel, axis=2)
         loc_map = jnp.einsum("bpc,bc->bp", rel, flang_loc)        # (B, P)
         lo = jnp.min(loc_map, axis=1, keepdims=True)

@@ -10,8 +10,13 @@ loop #5 in SURVEY.md §3) computes
 The (B, P, P) intermediate costs ~7.2 MB/sample of HBM write+read. This
 kernel streams row tiles of the Gram matrix through VMEM so it never
 touches HBM; the eval-mode BatchNorm is a fixed affine and is folded into
-(W, b) by the caller. Eval/serving only — training uses the einsum path
-(needs batch stats + gradients).
+(W, b) by the caller.
+
+SUPERSEDED (round 2): ce ceᵀ has rank <= 8, so the whole chain factors
+exactly as ce @ (ceᵀ @ (obj ∘ W)) — ~84x fewer FLOPs than this kernel with
+no quadratic intermediate at all, on both train and eval paths. See
+`models/heads.py::DenseBNReLU` (gram_factors). The kernel is retained as a
+tested benchmarking reference for the row-tiled streaming pattern.
 """
 
 from __future__ import annotations

@@ -38,11 +38,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def place_host_batch(sharding: NamedSharding, v):
+    """Place one host array under `sharding`. Multi-process: each host holds
+    its process-local slice of the global batch (fed by
+    batch_iterator(num_shards=process_count, shard_index=process_index) —
+    the DistributedSampler analog), assembled into one global array over
+    ICI/DCN."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, np.asarray(v))
+    return jax.device_put(v, sharding)
+
+
 def shard_batch(mesh: Mesh, batch: Dict) -> Dict:
     """Place host arrays with the batch axis sharded over 'data'
-    (the DistributedSampler equivalent for a single host)."""
+    (the DistributedSampler equivalent)."""
     sh = batch_sharding(mesh)
-    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+    return {k: place_host_batch(sh, v) for k, v in batch.items()}
 
 
 def replicate_state(mesh: Mesh, tree):

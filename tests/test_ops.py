@@ -201,3 +201,54 @@ def test_decode_topk_ordering():
     # top-1 of topk == best
     best = decode_best(outbox, cfg)
     np.testing.assert_allclose(np.asarray(best.boxes[:, 0]), np.asarray(dec.boxes[:, 0]), rtol=1e-5)
+
+
+def test_dense_bn_relu_gram_factorization():
+    """DenseBNReLU(gram_factors=...) equals the naive P x P Gram chain
+    (both train and eval modes), including gradients."""
+    import jax
+    from dcnet_tpu.models.heads import DenseBNReLU
+
+    rng = np.random.RandomState(0)
+    B, P, E, C = 2, 84, 8, 16
+    ce = rng.randn(B, P, E).astype(np.float32)
+    ce = ce / np.linalg.norm(ce, axis=2, keepdims=True)
+    obj = rng.randn(B, P).astype(np.float32)
+
+    mod = DenseBNReLU(C)
+    gram = np.einsum("bpe,bqe->bpq", ce, ce) * obj[:, None, :]
+    flat = jnp.asarray(gram.reshape(-1, P))
+    variables = mod.init(jax.random.PRNGKey(0), flat)
+
+    for train in (False, True):
+        naive = mod.apply(variables, flat, train, mutable=["batch_stats"])
+        fact = mod.apply(variables, None, train,
+                         gram_factors=(jnp.asarray(ce), jnp.asarray(obj)),
+                         mutable=["batch_stats"])
+        n_out, f_out = naive[0], fact[0]
+        np.testing.assert_allclose(np.asarray(f_out), np.asarray(n_out),
+                                   rtol=1e-4, atol=1e-4)
+        if train:  # batch stats must update identically
+            for leaf in ("mean", "var"):
+                np.testing.assert_allclose(
+                    np.asarray(fact[1]["batch_stats"]["bn"][leaf]),
+                    np.asarray(naive[1]["batch_stats"]["bn"][leaf]),
+                    rtol=1e-4, atol=1e-5)
+
+    # gradients w.r.t. the Dense kernel agree
+    def loss_naive(params):
+        out = mod.apply({"params": params,
+                         "batch_stats": variables["batch_stats"]}, flat)
+        return jnp.sum(out ** 2)
+
+    def loss_fact(params):
+        out = mod.apply({"params": params,
+                         "batch_stats": variables["batch_stats"]},
+                        None, gram_factors=(jnp.asarray(ce), jnp.asarray(obj)))
+        return jnp.sum(out ** 2)
+
+    g1 = jax.grad(loss_naive)(variables["params"])
+    g2 = jax.grad(loss_fact)(variables["params"])
+    np.testing.assert_allclose(np.asarray(g2["fc"]["kernel"]),
+                               np.asarray(g1["fc"]["kernel"]),
+                               rtol=1e-3, atol=1e-4)
