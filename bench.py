@@ -54,6 +54,12 @@ def main():
     ap.add_argument("--bert", action="store_true",
                     help="BASELINE config 4: BERT encoder variant, clip "
                          "batch 32, full dual-correspondence train forward")
+    ap.add_argument("--backbone", action="store_true",
+                    help="backbone-only eval forward (step-time breakdown: "
+                         "what share of the eval step is the Darknet stack)")
+    ap.add_argument("--no_fused_coattn", action="store_true",
+                    help="A/B: einsum co-attention instead of the Pallas "
+                         "kernel")
     args = ap.parse_args()
 
     if args.single:
@@ -78,6 +84,7 @@ def main():
         image_size=size, corpus_size=1000,
         compute_dtype="bfloat16" if dtype == jnp.bfloat16 else "float32",
         n_frames_train=args.frames, remat_backbone=args.remat,
+        use_fused_coattn=not args.no_fused_coattn,
         interframe_top_k=min(30, (size // 32) ** 4),
         interframe_neg_n=min(10, (size // 32) ** 2 - 1),
         crossmodal_neg_n=min(5, (size // 32) ** 2 - 1))
@@ -195,17 +202,26 @@ def main():
         }))
         return
 
-    @jax.jit
-    def step(variables, images, word_ids, carry):
-        # `carry` forces sequential dependency between iterations so the
-        # remote runtime cannot overlap/elide executions — on this image's
-        # tunneled TPU, block_until_ready returns before execution finishes,
-        # so honest timing = chained dispatches + one host fetch at the end.
-        images = images + carry * 0.0
-        out = model.apply(variables, images, word_ids, n_frame=n_frame,
-                          method=DCNetCls.eval_clip)
-        dec = decode_best(out.outbox, cfg)
-        return dec.boxes, jnp.sum(dec.score)
+    if args.backbone:
+        @jax.jit
+        def step(variables, images, word_ids, carry):
+            feats = model.apply(variables, images + carry * 0.0,
+                                method=DCNetCls.extract_features)
+            return feats[0], sum(jnp.sum(f.astype(jnp.float32))
+                                 for f in feats)
+    else:
+        @jax.jit
+        def step(variables, images, word_ids, carry):
+            # `carry` forces sequential dependency between iterations so the
+            # remote runtime cannot overlap/elide executions — on this
+            # image's tunneled TPU, block_until_ready returns before
+            # execution finishes, so honest timing = chained dispatches +
+            # one host fetch at the end.
+            images = images + carry * 0.0
+            out = model.apply(variables, images, word_ids, n_frame=n_frame,
+                              method=DCNetCls.eval_clip)
+            dec = decode_best(out.outbox, cfg)
+            return dec.boxes, jnp.sum(dec.score)
 
     def run(n):
         carry = jnp.float32(0)
@@ -227,7 +243,8 @@ def main():
     fps = clips * n_frame / dt_step
     p50_clip_ms = dt_step / clips * 1000.0
     print(json.dumps({
-        "metric": "video_grounding_eval_frames_per_sec_per_chip",
+        "metric": ("backbone_only_frames_per_sec_per_chip" if args.backbone
+                   else "video_grounding_eval_frames_per_sec_per_chip"),
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / A100_REFERENCE_FPS_ESTIMATE, 3),

@@ -78,6 +78,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="bfloat16 compute dtype")
     p.add_argument("--auto_resume", action="store_true",
                    help="resume from the run's checkpoint dir if present")
+    p.add_argument("--profile_dir", default="", type=str,
+                   help="capture a jax.profiler device trace of a few train "
+                        "steps into this dir (view with TensorBoard/XProf)")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() (multi-host pod)")
     return p

@@ -93,6 +93,22 @@ def main(argv=None):
         state = replicate_state(mesh, state)
         put = lambda b: shard_batch(mesh, b)  # noqa: E731
         rng = jax.random.PRNGKey(cfg.seed + 100)
+
+        if args.profile_dir:
+            # capture a device trace of 3 steps (1 compile + 2 steady-state);
+            # the reference has no profiler at all (SURVEY.md §5)
+            from dcnet_tpu.train.step import train_step
+            from dcnet_tpu.utils.profiling import device_trace
+            prof_batches = batch_iterator(train_ds, cfg.batch_size,
+                                          shuffle=True, seed=cfg.seed)
+            pbatch = put(flatten_clip_batch(next(iter(prof_batches))))
+            pstate = state
+            with device_trace(args.profile_dir):
+                for _ in range(3):
+                    pstate, pmetrics = train_step(model, cfg, pstate,
+                                                  pbatch, rng)
+                np.asarray(pmetrics["loss"])
+            print(f"=> wrote device trace to {args.profile_dir}")
         max_steps = args.max_steps or None
         from dcnet_tpu.data.vid import prefetch_to_device
         from dcnet_tpu.parallel.mesh import batch_sharding
