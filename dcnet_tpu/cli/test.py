@@ -49,6 +49,12 @@ def main(argv=None):
                              "test_DCNet.py:273, as a 'data' mesh)")
     parser.add_argument("--save_plot", action="store_true",
                         help="write qualitative JPEGs (test_DCNet.py:985-988)")
+    parser.add_argument("--stream_eval", action="store_true",
+                        help="extract backbone features once per FRAME and "
+                             "reuse them across overlapping windows (the "
+                             "reference reruns the backbone on all "
+                             "num_frame_k frames of every clip, "
+                             "test_DCNet.py:373 — a ~k x backbone saving)")
     args = parser.parse_args(argv)
     if args.num_frame_k == 2:
         args.num_frame_k = 5  # test default (test_DCNet.py:178)
@@ -73,6 +79,9 @@ def main(argv=None):
                           batch_stats=variables["batch_stats"])
     if args.resume:
         state, _, _ = restore_checkpoint(args.resume, state)
+
+    if args.stream_eval:
+        return _stream_eval(args, ds, cfg, model, state)
 
     k = args.num_frame_k
     center = k // 2
@@ -210,6 +219,121 @@ def main(argv=None):
                                    jnp.asarray(dw), jnp.asarray(dh),
                                    jnp.asarray(ow), jnp.asarray(oh))
             iou = float(bbox_iou(pred[None], gt[None])[0])
+            pp_acc.update(float(iou > 0.5))
+            pp_miou.update(iou)
+        print(f"post_process: {pp_acc.avg:.6f},{pp_miou.avg:.6f}")
+    return acc.avg
+
+
+def _stream_eval(args, ds, cfg, model, state):
+    """Feature-cached offline video eval: the backbone runs ONCE per frame;
+    overlapping windows reuse the per-frame features (the offline analog of
+    the serving engine's HBM feature ring). Numerically identical to the
+    window-recompute path — eval_features consumes the same mapped
+    features eval_clip would compute."""
+    from dcnet_tpu.data import transforms as T
+
+    k = args.num_frame_k
+    center = k // 2
+    cb = max(args.batch_size, 1)   # trunk batch (centers)
+    fb = cb * k                    # backbone batch (frames)
+
+    @jax.jit
+    def extract(params, batch_stats, images):
+        return model.apply({"params": params, "batch_stats": batch_stats},
+                           images, method=DCNet.extract_features)
+
+    @jax.jit
+    def trunk(params, batch_stats, per_frame, word_ids):
+        return model.apply({"params": params, "batch_stats": batch_stats},
+                           per_frame, word_ids, method=DCNet.eval_features)
+
+    by_video = {}
+    for row in ds.chunks:
+        by_video.setdefault(row[3], []).append(row)
+
+    acc, miou = AverageMeter(), AverageMeter()
+    cache_rows, vid_rows, fused_gt = [], [], []
+    for vid, rows in by_video.items():
+        # unique frame sequence: rows are consecutive sliding windows, so
+        # frames = first window + the last frame of each later window
+        paths = list(rows[0][0]) + [r[0][-1] for r in rows[1:]]
+        imgs, metas = [], []
+        for p in paths:  # decode ONCE per frame (vs once per window)
+            img = ds._read_image(p)
+            img, ratio, dw, dh = T.letterbox(img, ds.imsize)
+            imgs.append(T.normalize_image(img).astype(np.float32))
+            metas.append((ratio, dw, dh))
+        frames = np.stack(imgs)
+        n_frames = frames.shape[0]
+
+        feats = None  # per scale (T, h, w, C), built in padded batches
+        for s0 in range(0, n_frames, fb):
+            chunk = frames[s0:s0 + fb]
+            pad = fb - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+            f = extract(state.params, state.batch_stats, jnp.asarray(chunk))
+            f = [x[:fb - pad] for x in f]
+            feats = f if feats is None else [
+                jnp.concatenate([a, b]) for a, b in zip(feats, f)]
+
+        n_centers = len(rows)
+        win = np.arange(n_centers)[:, None] + np.arange(k)[None]  # (N, k)
+        ids = np.stack([ds._tokenize(r[2][center].lower())[0]
+                        for r in rows]).astype(np.int32)
+        gts = np.stack([np.asarray(r[1][center], np.float64) for r in rows])
+
+        for s0 in range(0, n_centers, cb):
+            sel = win[s0:s0 + cb]
+            n = sel.shape[0]
+            pad = cb - n
+            if pad:
+                sel = np.concatenate([sel, np.repeat(sel[-1:], pad, 0)])
+            per_frame = tuple(jnp.take(f, jnp.asarray(sel), axis=0)
+                              for f in feats)
+            wi = ids[s0:s0 + cb]
+            if pad:
+                wi = np.concatenate([wi, np.repeat(wi[-1:], pad, 0)])
+            out = trunk(state.params, state.batch_stats, per_frame,
+                        jnp.asarray(wi))
+            out = jax.tree_util.tree_map(lambda x: x[:n], out)
+            dec = decode_best(out.outbox, cfg)
+
+            for j in range(n):
+                ratio, dw, dh = metas[s0 + j + center]
+                ow, oh = ((cfg.image_size - 2 * dw) / ratio,
+                          (cfg.image_size - 2 * dh) / ratio)
+                pred = inverse_letterbox(
+                    dec.boxes[j, 0], jnp.asarray(ratio), jnp.asarray(dw),
+                    jnp.asarray(dh), jnp.asarray(ow), jnp.asarray(oh))
+                iou = float(bbox_iou(pred[None],
+                                     jnp.asarray(gts[s0 + j][None]))[0])
+                acc.update(float(iou > 0.5))
+                miou.update(iou)
+                fused_gt.append((gts[s0 + j], ratio, dw, dh))
+            if args.post_process:
+                cache_rows.append(build_frame_cache(
+                    out.outbox, out.corr_feat, args.topk, cfg))
+                vid_rows.append(np.full((n,), vid, np.int32))
+
+    print(f"{acc.avg:.6f},{miou.avg:.6f}")
+
+    if args.post_process and cache_rows:
+        from dcnet_tpu.eval.temporal import FrameCache, fuse_per_video
+        cache = FrameCache(
+            boxes=jnp.concatenate([c.boxes for c in cache_rows]),
+            scores=jnp.concatenate([c.scores for c in cache_rows]),
+            feats=jnp.concatenate([c.feats for c in cache_rows]))
+        fused = fuse_per_video(cache, np.concatenate(vid_rows), ref_frames=k)
+        pp_acc, pp_miou = AverageMeter(), AverageMeter()
+        for t, (gt, ratio, dw, dh) in enumerate(fused_gt):
+            ow, oh = ((cfg.image_size - 2 * dw) / ratio,
+                      (cfg.image_size - 2 * dh) / ratio)
+            pred = inverse_letterbox(
+                fused[t], jnp.asarray(ratio), jnp.asarray(dw),
+                jnp.asarray(dh), jnp.asarray(ow), jnp.asarray(oh))
+            iou = float(bbox_iou(pred[None], jnp.asarray(gt[None]))[0])
             pp_acc.update(float(iou > 0.5))
             pp_miou.update(iou)
         print(f"post_process: {pp_acc.avg:.6f},{pp_miou.avg:.6f}")
