@@ -89,6 +89,24 @@ def main(argv=None):
     print(f"Num of parameters: {n_params}")
     log.info("Num of parameters:%d", n_params)
 
+    # preemption-safe shutdown: TPU VMs get SIGTERM before eviction; save a
+    # checkpoint at the next epoch boundary and exit cleanly so
+    # --auto_resume continues the run (the reference loses everything since
+    # its last manual save, SURVEY.md §5 "failure recovery: none")
+    import signal
+    stop_requested = {"flag": False}
+
+    def _request_stop(signum, frame):
+        stop_requested["flag"] = True
+        print(f"=> received signal {signum}; will checkpoint and exit "
+              f"at the epoch boundary")
+
+    for sig in (signal.SIGTERM, signal.SIGUSR1):
+        try:
+            signal.signal(sig, _request_stop)
+        except (ValueError, OSError):  # non-main thread / unsupported
+            pass
+
     with mesh:
         state = replicate_state(mesh, state)
         put = lambda b: shard_batch(mesh, b)  # noqa: E731
@@ -128,7 +146,8 @@ def main(argv=None):
                 size=2, sharding=batch_sharding(mesh))
             state = train_epoch(model, cfg, state, batches, rng, epoch,
                                 print_freq=args.print_freq,
-                                max_steps=max_steps)
+                                max_steps=max_steps,
+                                should_stop=lambda: stop_requested["flag"])
             val_batches = batch_iterator(
                 val_ds, per_host_bs, num_shards=n_hosts, shard_index=host,
                 num_workers=args.workers)
@@ -138,6 +157,9 @@ def main(argv=None):
             best_acc = max(best_acc, result["acc50"])
             save_checkpoint(ckpt_dir, jax.device_get(state), epoch, best_acc)
             log.info("Best Accu: %f", best_acc)
+            if stop_requested["flag"]:
+                print(f"=> checkpointed epoch {epoch}; exiting on signal")
+                break
     return state
 
 

@@ -170,14 +170,34 @@ class VIDDataset:
         return out
 
 
+_WORKER_DS = None
+
+
+def _init_worker(dataset) -> None:
+    global _WORKER_DS
+    _WORKER_DS = dataset
+    try:  # one cv2 thread per worker process (vid_loader.py:34)
+        import cv2
+        cv2.setNumThreads(0)
+    except Exception:
+        pass
+
+
+def _worker_get(idx: int):
+    return _WORKER_DS[idx]
+
+
 def batch_iterator(
     dataset, batch_size: int, shuffle: bool = False, seed: int = 0,
     drop_last: bool = True, num_shards: int = 1, shard_index: int = 0,
-    num_workers: int = 0,
+    num_workers: int = 0, worker_type: str = "process",
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Minimal host batch iterator with per-host sharding
-    (DistributedSampler analog, train_DCNet.py:467-478) and optional
-    thread-pool decoding."""
+    (DistributedSampler analog, train_DCNet.py:467-478) and parallel
+    decoding. num_workers > 0 uses worker PROCESSES by default (the torch
+    DataLoader analog — cv2 decode/augment is GIL-bound, so threads cap at
+    ~1 core); worker_type="thread" keeps the in-process pool (cheap for
+    tiny smoke datasets, required for unpicklable datasets)."""
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
@@ -194,20 +214,39 @@ def batch_iterator(
                 out[key] = vals
         return out
 
-    if num_workers > 0:
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(num_workers) as pool:
-            for start in range(0, n, batch_size):
-                idxs = order[start:start + batch_size]
-                if len(idxs) < batch_size and drop_last:
-                    break
-                yield collate(list(pool.map(dataset.__getitem__, idxs)))
-    else:
+    def batches_from(get_many):
         for start in range(0, n, batch_size):
             idxs = order[start:start + batch_size]
             if len(idxs) < batch_size and drop_last:
                 break
-            yield collate([dataset[i] for i in idxs])
+            yield collate(get_many([int(i) for i in idxs]))
+
+    if num_workers > 0 and worker_type == "process" and (os.cpu_count() or 1) > 1:
+        # worker processes only pay off with >1 core (single-core hosts —
+        # like this dev image — are faster in-process: no IPC)
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+        try:
+            ctx = mp.get_context("fork")  # cheap worker start on linux
+        except ValueError:  # pragma: no cover
+            ctx = mp.get_context()
+        try:
+            with ProcessPoolExecutor(num_workers, mp_context=ctx,
+                                     initializer=_init_worker,
+                                     initargs=(dataset,)) as pool:
+                yield from batches_from(
+                    lambda idxs: list(pool.map(_worker_get, idxs,
+                                               chunksize=1)))
+            return
+        except (TypeError, AttributeError, ImportError):
+            pass  # unpicklable dataset -> thread fallback below
+    if num_workers > 0:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(num_workers) as pool:
+            yield from batches_from(
+                lambda idxs: list(pool.map(dataset.__getitem__, idxs)))
+    else:
+        yield from batches_from(lambda idxs: [dataset[i] for i in idxs])
 
 
 def prefetch_to_device(iterator, size: int = 2, sharding=None):

@@ -44,7 +44,10 @@ def train_epoch(
     batches: Iterable[Dict[str, np.ndarray]], rng: jax.Array, epoch: int,
     print_freq: int = 100, max_steps: Optional[int] = None,
     device_put: Callable = lambda b: b,
+    should_stop: Optional[Callable[[], bool]] = None,
 ) -> TrainState:
+    """`should_stop` is polled between steps — the preemption hook: when it
+    turns true the epoch ends early so the caller can checkpoint and exit."""
     meters = {k: AverageMeter() for k in
               ("loss", "loss_yolo", "loss_rank", "loss_loc",
                "loss_interframe", "loss_crossmodal", "acc50", "acc_center",
@@ -52,6 +55,9 @@ def train_epoch(
     end = time.time()
     for i, batch in enumerate(batches):
         if max_steps is not None and i >= max_steps:
+            break
+        if should_stop is not None and should_stop():
+            log.info("stop requested at step %d of epoch %d", i, epoch)
             break
         batch = device_put(flatten_clip_batch(batch))
         n = batch["images"].shape[0]

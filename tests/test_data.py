@@ -146,6 +146,28 @@ def test_batch_iterator_sharding(tmp_path):
                                all_batches[0]["images"])
 
 
+def test_batch_iterator_process_workers(tmp_path, monkeypatch):
+    """Worker processes (the torch DataLoader analog) yield exactly the
+    batches the in-process path yields. The single-core guard is bypassed
+    so the fork-pool machinery actually runs."""
+    import dcnet_tpu.data.vid as vidmod
+
+    root = str(tmp_path)
+    index = generate_synthetic_vid(root, "train", num_videos=2,
+                                   frames_per_video=5)
+    corpus = build_synthetic_corpus()
+    ds = VIDDataset(index, corpus, split="train", imsize=64, num_frame_k=2,
+                    image_root=root)
+    monkeypatch.setattr(vidmod.os, "cpu_count", lambda: 4)
+    got = list(batch_iterator(ds, 2, num_workers=2, worker_type="process"))
+    want = list(batch_iterator(ds, 2, num_workers=0))
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g["images"], w["images"])
+        np.testing.assert_array_equal(g["word_ids"], w["word_ids"])
+        np.testing.assert_array_equal(g["bbox"], w["bbox"])
+
+
 def test_referit_dataset(tmp_path):
     import cv2
     import json
