@@ -60,6 +60,9 @@ def main():
     ap.add_argument("--no_fused_coattn", action="store_true",
                     help="A/B: einsum co-attention instead of the Pallas "
                          "kernel")
+    ap.add_argument("--cast_params", action="store_true",
+                    help="serve with bf16 params (halves weight HBM reads; "
+                         "eval/serving modes only)")
     args = ap.parse_args()
 
     if args.single:
@@ -100,6 +103,9 @@ def main():
         {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
          "dropout": jax.random.PRNGKey(2)},
         images[:k_init], word_ids[:1].repeat(k_init, axis=0), train=False)
+    if args.cast_params and not args.train:
+        from dcnet_tpu.serving.engine import cast_params_for_serving
+        variables = cast_params_for_serving(variables)
 
     if args.train:
         # reference recipe shape: k-frame clips, batch = clips

@@ -1,0 +1,93 @@
+"""CLI regression tests (in-process mains on synthetic data).
+
+The heavier CLI flows are exercised by the data-free smokes documented in
+CLAUDE.md; these tests lock in the two equivalences that matter:
+--stream_eval == standard window-recompute eval, and the train CLI's
+one-step end-to-end path.
+"""
+
+import contextlib
+import io
+import os
+
+import numpy as np
+import pytest
+
+
+def _patched_build_dataset(root, limit_rows=None):
+    def build_dataset(args, split, testmode=False, num_frame_k=None):
+        from dcnet_tpu.data.synthetic import build_synthetic_corpus
+        from dcnet_tpu.data.vid import VIDDataset
+        index = os.path.join(root, f"VID_video_level_{split}.json")
+        corpus = build_synthetic_corpus()
+        k = num_frame_k if num_frame_k is not None else args.num_frame_k
+        ds = VIDDataset(index, corpus, split=split, imsize=args.size,
+                        num_frame_k=k, max_query_len=args.time,
+                        testmode=testmode, image_root=root, seed=args.seed)
+        if limit_rows:
+            ds.chunks = ds.chunks[:limit_rows]
+        return ds, corpus
+    return build_dataset
+
+
+def _run_main(module, argv):
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        module.main(argv)
+    return out.getvalue()
+
+
+def _metrics_line(text):
+    for line in reversed(text.strip().splitlines()):
+        parts = line.split(",")
+        if len(parts) == 2:
+            try:
+                return float(parts[0]), float(parts[1])
+            except ValueError:
+                continue
+    raise AssertionError(f"no metrics line in: {text!r}")
+
+
+@pytest.mark.skipif(
+    not (os.path.exists("saved_models/converge32b")
+         and os.path.exists("data/synthetic32")),
+    reason="local trained checkpoint / synthetic corpus not present")
+def test_stream_eval_matches_standard(monkeypatch):
+    """--stream_eval (backbone once per frame) reproduces the standard
+    window-recompute eval metrics on trained weights."""
+    import dcnet_tpu.cli.test as tmod
+
+    monkeypatch.setattr(
+        tmod, "build_dataset",
+        _patched_build_dataset("data/synthetic32", limit_rows=10))
+    base = ["--synthetic", "--lstm", "--mini", "--size", "64",
+            "--num_frame_k", "5", "--test", "--batch_size", "4",
+            "--resume", "./saved_models/converge32b",
+            "--savename", "cli_eq_test"]
+    acc_std, miou_std = _metrics_line(_run_main(tmod, base))
+    acc_str, miou_str = _metrics_line(_run_main(tmod, base + ["--stream_eval"]))
+    assert abs(acc_std - acc_str) < 1e-6
+    assert abs(miou_std - miou_str) < 2e-3  # fp reassociation only
+    assert miou_std > 0.05  # trained weights actually ground something
+
+
+def test_train_cli_one_step(tmp_path, monkeypatch):
+    """Full train CLI path end to end: one optimizer step + validation +
+    checkpoint write on generated data."""
+    import dcnet_tpu.cli.train as trmod
+    from dcnet_tpu.data.synthetic import generate_synthetic_vid
+
+    root = str(tmp_path / "data")
+    for split in ("train", "test"):
+        generate_synthetic_vid(root, split, num_videos=2,
+                               frames_per_video=4, height=96, width=128)
+    monkeypatch.setattr(trmod, "build_dataset",
+                        _patched_build_dataset(root))
+    monkeypatch.chdir(tmp_path)
+    out = _run_main(trmod, [
+        "--synthetic", "--lstm", "--mini", "--size", "64",
+        "--batch_size", "2", "--nb_epoch", "1", "--max_steps", "1",
+        "--workers", "0", "--devices", "2",
+        "--savename", "cli_train_test"])
+    assert "accu" in out
+    assert os.path.isdir(str(tmp_path / "saved_models" / "cli_train_test"))
