@@ -63,8 +63,13 @@ def main():
     ap.add_argument("--cast_params", action="store_true",
                     help="serve with bf16 params (halves weight HBM reads; "
                          "eval/serving modes only)")
+    ap.add_argument("--host", action="store_true",
+                    help="host input pipeline only (decode+letterbox+"
+                         "normalize), native C++ core vs Python/cv2")
     args = ap.parse_args()
 
+    if args.host:
+        return bench_host_pipeline(args)
     if args.single:
         return bench_single_image(args)
 
@@ -260,6 +265,69 @@ def main():
             "dtype": str(dtype.__name__),
             "device": str(jax.devices()[0].platform),
         },
+    }))
+
+
+def bench_host_pipeline(args):
+    """Host input pipeline: JPEG decode + letterbox + normalize at 720p,
+    native C++ core (dcnet_tpu/native) vs the Python/cv2 path. No device
+    work — this is the feed rate available to the train/eval steps."""
+    import tempfile
+
+    import cv2
+
+    from dcnet_tpu import native
+    from dcnet_tpu.data import transforms as T
+
+    size = 64 if args.smoke else 256
+    n_imgs = 4 if args.smoke else 40
+    iters = 2 if args.smoke else 5
+    rng = np.random.RandomState(0)
+    d = tempfile.mkdtemp(prefix="dcnet_hostbench_")
+    paths = []
+    y, x = np.mgrid[0:720, 0:1280]
+    base = ((x + y) % 256).astype(np.uint8)[..., None].repeat(3, -1)
+    for i in range(n_imgs):
+        img = np.clip(base.astype(int)
+                      + rng.randint(-20, 20, base.shape), 0, 255)
+        p = os.path.join(d, f"f{i:03d}.jpg")
+        cv2.imwrite(p, img.astype(np.uint8))
+        paths.append(p)
+
+    def py_batch():
+        for p in paths:
+            img = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+            boxed, *_ = T.letterbox(img, size)
+            T.normalize_image(boxed)
+
+    def best(f, n):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            f()
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    py_batch()
+    t_py = best(py_batch, iters)
+    fps_py = n_imgs / t_py
+    fps_cc = None
+    if native.available():
+        cc = lambda: native.decode_letterbox_batch(  # noqa: E731
+            paths, size, T.IMAGENET_MEAN, T.IMAGENET_STD)
+        cc()
+        fps_cc = n_imgs / best(cc, iters)
+    fps = fps_cc or fps_py
+    print(json.dumps({
+        "metric": "host_input_frames_per_sec",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / fps_py, 3),  # speedup over Python path
+        "extra": {"python_path_fps": round(fps_py, 1),
+                  "native_fps": round(fps_cc, 1) if fps_cc else None,
+                  "native": native.available(),
+                  "threads": os.cpu_count(), "source": "720p JPEG",
+                  "letterbox_to": size},
     }))
 
 

@@ -38,9 +38,10 @@ class ReferItDataset:
         dataset: str = "referit", imsize: int = 256, max_query_len: int = 20,
         augment: bool = False, testmode: bool = False, image_root: str = "",
         seed: int = 13, bert_tokenizer: Optional[Any] = None,
-        legacy_hsv: bool = False,
+        legacy_hsv: bool = False, use_native: Optional[bool] = None,
     ):
         self.legacy_hsv = legacy_hsv
+        self.use_native = use_native
         self.entries = load_index(index_path)
         self.dataset = dataset
         self.imsize = imsize
@@ -83,12 +84,52 @@ class ReferItDataset:
         img_file, bbox, phrase = self._unpack(self.entries[idx])
         phrase = phrase.lower()
         ori_phrase = phrase
-        img = T.cv2.imread(os.path.join(self.image_root, img_file))
-        if img is None:
-            raise FileNotFoundError(img_file)
-        img = T.cv2.cvtColor(img, T.cv2.COLOR_BGR2RGB)
+        full = os.path.join(self.image_root, img_file)
+        native = None
+        if self.use_native is not False:
+            from dcnet_tpu import native as _native
+            if _native.available():
+                native = _native
+            elif self.use_native:
+                raise RuntimeError(
+                    f"native loader requested but unavailable: "
+                    f"{_native.unavailable_reason()}")
         rng = np.random.default_rng(
             (self.seed * 1_000_003 + self._epoch * 10_007 + idx) % (2 ** 63))
+
+        if not self.augment and native is not None:
+            # fused C++ decode+letterbox+normalize (dcnet_tpu/native)
+            images, ratios, dws, dhs, ok = native.decode_letterbox_batch(
+                [full], self.imsize, T.IMAGENET_MEAN, T.IMAGENET_STD)
+            if not ok[0]:
+                raise FileNotFoundError(full)
+            ratio, dw, dh = float(ratios[0]), float(dws[0]), float(dhs[0])
+            bbox[[0, 2]] = bbox[[0, 2]] * ratio + dw
+            bbox[[1, 3]] = bbox[[1, 3]] * ratio + dh
+            word_ids, word_mask = self._tokenize(phrase)
+            out = {
+                "images": images.astype(np.float32),  # (1,H,W,3)
+                "word_ids": word_ids[None].astype(np.int32),
+                "word_mask": word_mask[None].astype(np.int32),
+                "bbox": bbox[None].astype(np.float32),
+            }
+            if self.testmode:
+                out["ratio"] = np.asarray([ratio], np.float32)
+                out["dw"] = np.asarray([dw], np.float32)
+                out["dh"] = np.asarray([dh], np.float32)
+                out["paths"] = [img_file]
+                out["phrases"] = [ori_phrase]
+            return out
+
+        if native is not None:
+            img = native.decode_batch_rgb([full])[0]
+            if img is None:
+                raise FileNotFoundError(full)
+        else:
+            img = T.cv2.imread(full)
+            if img is None:
+                raise FileNotFoundError(img_file)
+            img = T.cv2.cvtColor(img, T.cv2.COLOR_BGR2RGB)
 
         if self.augment:
             if rng.random() > 0.5:

@@ -76,8 +76,10 @@ class VIDDataset:
         augment: Optional[bool] = None, testmode: bool = False,
         image_root: str = "", seed: int = 13,
         bert_tokenizer: Optional[Any] = None, legacy_hsv: bool = False,
+        use_native: Optional[bool] = None,
     ):
         self.legacy_hsv = legacy_hsv
+        self.use_native = use_native
         self.imsize = imsize
         self.k = num_frame_k
         self.query_len = max_query_len
@@ -101,6 +103,18 @@ class VIDDataset:
     def __len__(self) -> int:
         return len(self.chunks)
 
+    def _native_on(self) -> bool:
+        """use_native=None resolves to 'if the C++ core is available'."""
+        if self.use_native is False:
+            return False
+        from dcnet_tpu import native
+        ok = native.available()
+        if self.use_native and not ok:  # explicit request must not be silent
+            raise RuntimeError(
+                f"native loader requested but unavailable: "
+                f"{native.unavailable_reason()}")
+        return ok
+
     def _read_image(self, path: str) -> np.ndarray:
         full = os.path.join(self.image_root, path)
         img = T.cv2.imread(full)
@@ -111,6 +125,19 @@ class VIDDataset:
         else:
             img = T.cv2.cvtColor(img, T.cv2.COLOR_BGR2RGB)
         return img
+
+    def _read_images(self, paths: List[str]) -> List[np.ndarray]:
+        """Decode all frames of a clip; the C++ core decodes them in
+        parallel (dcnet_tpu/native), the fallback loops over cv2."""
+        if self._native_on():
+            from dcnet_tpu import native
+            full = [os.path.join(self.image_root, p) for p in paths]
+            imgs = native.decode_batch_rgb(full)
+            for p, im in zip(full, imgs):
+                if im is None:
+                    raise FileNotFoundError(p)
+            return imgs
+        return [self._read_image(p) for p in paths]
 
     def _tokenize(self, phrase: str) -> Tuple[np.ndarray, np.ndarray]:
         if self.corpus is not None:
@@ -125,10 +152,27 @@ class VIDDataset:
         bboxs = [b.copy() for b in bboxs]
         phrases = [p.lower() for p in phrases]
         ori_phrases = list(phrases)
-        imgs = [self._read_image(p) for p in paths]
         rng = np.random.default_rng(
             (self.seed * 1_000_003 + self._epoch * 10_007 + idx) % (2 ** 63))
 
+        if not self.augment and self._native_on():
+            # Fused native fast path: one C call decodes + letterboxes +
+            # normalizes the whole clip in parallel (bit-identical to the
+            # Python path below; tests/test_native.py).
+            from dcnet_tpu import native
+            full = [os.path.join(self.image_root, p) for p in paths]
+            images, ratios, dws, dhs, ok = native.decode_letterbox_batch(
+                full, self.imsize, T.IMAGENET_MEAN, T.IMAGENET_STD)
+            if not ok.all():
+                raise FileNotFoundError(full[int(np.argmin(ok))])
+            for i in range(self.k):
+                bboxs[i][[0, 2]] = bboxs[i][[0, 2]] * ratios[i] + dws[i]
+                bboxs[i][[1, 3]] = bboxs[i][[1, 3]] * ratios[i] + dhs[i]
+            return self._pack(images, bboxs, phrases, ori_phrases,
+                              list(ratios), list(dws), list(dhs),
+                              video_id, paths)
+
+        imgs = self._read_images(paths)
         ratios, dws, dhs = [], [], []
         if self.augment:
             if rng.random() > 0.5:  # shared flip (vid_loader.py:351-355)
@@ -151,6 +195,11 @@ class VIDDataset:
                 bboxs[i][[1, 3]] = bboxs[i][[1, 3]] * ratio + dh
 
         images = np.stack([T.normalize_image(im) for im in imgs])  # (k,H,W,3)
+        return self._pack(images, bboxs, phrases, ori_phrases,
+                          ratios, dws, dhs, video_id, paths)
+
+    def _pack(self, images, bboxs, phrases, ori_phrases, ratios, dws, dhs,
+              video_id, paths) -> Dict[str, np.ndarray]:
         ids_masks = [self._tokenize(p) for p in phrases]
         word_ids = np.stack([im[0] for im in ids_masks]).astype(np.int32)
         word_mask = np.stack([im[1] for im in ids_masks]).astype(np.int32)
