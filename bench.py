@@ -66,6 +66,10 @@ def main():
     ap.add_argument("--host", action="store_true",
                     help="host input pipeline only (decode+letterbox+"
                          "normalize), native C++ core vs Python/cv2")
+    ap.add_argument("--quant", action="store_true",
+                    help="int8 post-training-quantized backbone on the "
+                         "eval path (static calibrated scales; the v5e "
+                         "MXU int8 path is 2x bf16 peak)")
     args = ap.parse_args()
 
     if args.host:
@@ -213,7 +217,25 @@ def main():
         }))
         return
 
-    if args.backbone:
+    if args.quant:
+        from dcnet_tpu.ops import quant as Q
+        qparams = Q.quantize_model_backbone(model, variables, images)
+        defs = Q.model_layer_defs(model)
+        b = clips
+
+        @jax.jit
+        def step(variables, images, word_ids, carry):
+            images = images + carry * 0.0
+            raw = Q.backbone_apply_int8(defs, qparams, images)
+            mapped = model.apply(variables, raw,
+                                 method=DCNetCls.map_features)
+            per_frame = [f.reshape(b, n_frame, *f.shape[1:])
+                         for f in mapped]
+            out = model.apply(variables, per_frame, word_ids,
+                              method=DCNetCls.eval_features)
+            dec = decode_best(out.outbox, cfg)
+            return dec.boxes, jnp.sum(dec.score)
+    elif args.backbone:
         @jax.jit
         def step(variables, images, word_ids, carry):
             feats = model.apply(variables, images + carry * 0.0,
@@ -263,6 +285,7 @@ def main():
             "p50_per_clip_ms": round(p50_clip_ms, 3),
             "clip_batch": clips, "n_frame": n_frame, "image_size": size,
             "dtype": str(dtype.__name__),
+            "quant_int8_backbone": bool(args.quant),
             "device": str(jax.devices()[0].platform),
         },
     }))

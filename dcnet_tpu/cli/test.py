@@ -55,7 +55,15 @@ def main(argv=None):
                              "reference reruns the backbone on all "
                              "num_frame_k frames of every clip, "
                              "test_DCNet.py:373 — a ~k x backbone saving)")
+    parser.add_argument("--quant", action="store_true",
+                        help="int8 post-training-quantized backbone "
+                             "(ops/quant.py): calibrated on the first "
+                             "frames of the split; implies --stream_eval")
+    parser.add_argument("--calib_frames", default=32, type=int,
+                        help="calibration frames for --quant")
     args = parser.parse_args(argv)
+    if args.quant:
+        args.stream_eval = True
     if args.num_frame_k == 2:
         args.num_frame_k = 5  # test default (test_DCNet.py:178)
     args.test = True
@@ -238,10 +246,41 @@ def _stream_eval(args, ds, cfg, model, state):
     cb = max(args.batch_size, 1)   # trunk batch (centers)
     fb = cb * k                    # backbone batch (frames)
 
-    @jax.jit
-    def extract(params, batch_stats, images):
-        return model.apply({"params": params, "batch_stats": batch_stats},
-                           images, method=DCNet.extract_features)
+    if getattr(args, "quant", False):
+        # int8 backbone: calibrate activation scales on the first frames of
+        # the split, then run the quantized stack + float mapping head
+        from dcnet_tpu.ops import quant as Q
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        # calibration frames: the first distinct frames of the split,
+        # through the same decode+letterbox+normalize preprocessing
+        calib = []
+        seen = []
+        for row in ds.chunks:
+            for p in row[0]:
+                if p not in seen:
+                    seen.append(p)
+                if len(seen) >= args.calib_frames:
+                    break
+            if len(seen) >= args.calib_frames:
+                break
+        for p in seen:
+            img = ds._read_image(p)
+            img, *_ = T.letterbox(img, ds.imsize)
+            calib.append(T.normalize_image(img).astype(np.float32))
+        qparams = Q.quantize_model_backbone(
+            model, variables, jnp.asarray(np.stack(calib)))
+
+        @jax.jit
+        def extract(params, batch_stats, images):
+            v = {"params": params, "batch_stats": batch_stats}
+            return Q.quant_extract_features(model, v, qparams, images)
+    else:
+        @jax.jit
+        def extract(params, batch_stats, images):
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                images, method=DCNet.extract_features)
 
     @jax.jit
     def trunk(params, batch_stats, per_frame, word_ids):

@@ -120,6 +120,13 @@ class DCNet(nn.Module):
         """Backbone + per-scale mapping + channel L2-norm
         (DCNet_model.py:344-359). images NHWC."""
         raw = self.backbone(images, train)  # positional: remat static_argnums
+        return self.map_features(raw, train)
+
+    def map_features(self, raw: Sequence[jnp.ndarray],
+                     train: bool = False) -> List[jnp.ndarray]:
+        """Per-scale mapping + channel L2-norm over raw backbone features —
+        exposed so alternative backbone executors (the int8-quantized stack,
+        ops/quant.py) can reuse the float head."""
         return [l2_normalize(self.mapping_visu[i](raw[i], train), axis=-1)
                 for i in range(3)]
 

@@ -71,6 +71,49 @@ def test_stream_eval_matches_standard(monkeypatch):
     assert miou_std > 0.05  # trained weights actually ground something
 
 
+@pytest.mark.skipif(
+    not (os.path.exists("saved_models/converge32b")
+         and os.path.exists("data/synthetic32")),
+    reason="local trained checkpoint / synthetic corpus not present")
+def test_quant_eval_close_to_fp(monkeypatch):
+    """--quant (int8 backbone, calibrated scales) stays close to the float
+    stream-eval metrics on trained weights — the accuracy cost of the 2x
+    MXU int8 path is bounded."""
+    import dcnet_tpu.cli.test as tmod
+
+    monkeypatch.setattr(
+        tmod, "build_dataset",
+        _patched_build_dataset("data/synthetic32", limit_rows=10))
+    base = ["--synthetic", "--lstm", "--mini", "--size", "64",
+            "--num_frame_k", "5", "--test", "--batch_size", "4",
+            "--resume", "./saved_models/converge32b",
+            "--savename", "cli_quant_test", "--stream_eval"]
+    acc_fp, miou_fp = _metrics_line(_run_main(tmod, base))
+    acc_q, miou_q = _metrics_line(_run_main(tmod, base + ["--quant"]))
+    assert miou_fp > 0.05  # trained weights ground something
+    assert abs(miou_q - miou_fp) < 0.03, (miou_fp, miou_q)
+    assert abs(acc_q - acc_fp) < 0.11, (acc_fp, acc_q)
+
+
+def test_quant_eval_cli_smoke(tmp_path, monkeypatch):
+    """--quant end to end on random weights: calibrates, quantizes, runs
+    the int8 backbone through the stream-eval path, metrics finite."""
+    import dcnet_tpu.cli.test as tmod
+    from dcnet_tpu.data.synthetic import generate_synthetic_vid
+
+    root = str(tmp_path / "data")
+    generate_synthetic_vid(root, "test", num_videos=2, frames_per_video=6)
+    monkeypatch.setattr(tmod, "build_dataset",
+                        _patched_build_dataset(root, limit_rows=4))
+    monkeypatch.chdir(tmp_path)
+    out = _run_main(tmod, [
+        "--synthetic", "--lstm", "--mini", "--size", "64",
+        "--num_frame_k", "5", "--test", "--batch_size", "2",
+        "--quant", "--calib_frames", "8", "--savename", "cli_quant_smoke"])
+    acc, miou = _metrics_line(out)
+    assert np.isfinite(acc) and np.isfinite(miou)
+
+
 def test_train_cli_one_step(tmp_path, monkeypatch):
     """Full train CLI path end to end: one optimizer step + validation +
     checkpoint write on generated data."""

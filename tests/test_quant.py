@@ -1,0 +1,110 @@
+"""Int8 post-training quantization of the backbone (ops/quant.py).
+
+The float traversal must match the flax DarknetBackbone (eval mode) —
+it is the calibration reference — and the int8 traversal must stay close
+to float at the captured feature maps."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dcnet_tpu.config import DCNetConfig
+from dcnet_tpu.models import DCNet
+from dcnet_tpu.models.darknet import (
+    DarknetBackbone, mini_backbone_defs, yolov3_layer_defs,
+)
+from dcnet_tpu.ops import quant
+
+
+def _init_backbone(defs, size, batch=2, seed=0):
+    bb = DarknetBackbone(layer_defs=defs)
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.rand(batch, size, size, 3).astype(np.float32))
+    variables = bb.init(jax.random.PRNGKey(seed), x, False)
+    return bb, variables, x
+
+
+@pytest.mark.parametrize("defs_fn,size", [
+    (mini_backbone_defs, 64),
+    (yolov3_layer_defs, 64),  # full 107-layer graph: shortcuts + routes
+])
+def test_fp_traversal_matches_flax(defs_fn, size):
+    defs = defs_fn()
+    bb, variables, x = _init_backbone(defs, size, batch=1)
+    ref = bb.apply(variables, x, False)
+    got = quant.backbone_apply_fp(defs, variables["params"],
+                                  variables["batch_stats"], x)
+    assert len(ref) == len(got) == 3
+    for r, g in zip(ref, got):
+        assert r.shape == g.shape
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_int8_features_close_to_fp():
+    defs = mini_backbone_defs()
+    bb, variables, x = _init_backbone(defs, 64, batch=4)
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    cal = quant.merge_calibration([quant.calibrate(defs, params, stats, x)])
+    qp = quant.quantize_backbone(defs, params, stats, cal)
+    fp = quant.backbone_apply_fp(defs, params, stats, x)
+    q8 = jax.jit(lambda im: quant.backbone_apply_int8(defs, qp, im))(x)
+    for f, q in zip(fp, q8):
+        f, q = np.asarray(f, np.float64), np.asarray(q, np.float64)
+        cos = (f * q).sum() / (np.linalg.norm(f) * np.linalg.norm(q) + 1e-12)
+        rel = np.linalg.norm(f - q) / (np.linalg.norm(f) + 1e-12)
+        assert cos > 0.995, cos
+        assert rel < 0.12, rel
+
+
+def test_int8_deterministic_and_int8_weights():
+    defs = mini_backbone_defs()
+    _, variables, x = _init_backbone(defs, 64)
+    cal = quant.merge_calibration([quant.calibrate(
+        defs, variables["params"], variables["batch_stats"], x)])
+    qp = quant.quantize_backbone(defs, variables["params"],
+                                 variables["batch_stats"], cal)
+    for i in quant.conv_layer_ids(defs):
+        assert qp[str(i)]["w"].dtype == jnp.int8
+    a = quant.backbone_apply_int8(defs, qp, x)
+    b = quant.backbone_apply_int8(defs, qp, x)
+    for fa, fb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_calibration_scales_unseen_range():
+    """Inputs beyond the calibrated range saturate instead of exploding."""
+    defs = mini_backbone_defs()
+    _, variables, x = _init_backbone(defs, 64)
+    cal = quant.merge_calibration([quant.calibrate(
+        defs, variables["params"], variables["batch_stats"], x)])
+    qp = quant.quantize_backbone(defs, variables["params"],
+                                 variables["batch_stats"], cal)
+    out = quant.backbone_apply_int8(defs, qp, x * 10.0)
+    for f in out:
+        assert np.isfinite(np.asarray(f)).all()
+
+
+def test_quant_extract_features_matches_model():
+    """quant_extract_features == DCNet.extract_features within int8 error
+    (the shared float mapping head runs on quantized backbone features)."""
+    cfg = DCNetConfig(image_size=64, corpus_size=100, interframe_top_k=16,
+                      interframe_neg_n=3, crossmodal_neg_n=3)
+    model = DCNet(cfg=cfg, backbone_defs=mini_backbone_defs())
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.rand(4, 64, 64, 3).astype(np.float32))
+    ids = jnp.asarray(rng.randint(1, 100, (4, 20)).astype(np.int32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)}, imgs[:2], ids[:2], train=False)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+    qp = quant.quantize_model_backbone(model, variables, imgs)
+    fp = model.apply(variables, imgs, method=DCNet.extract_features)
+    q8 = quant.quant_extract_features(model, variables, qp, imgs)
+    for f, q in zip(fp, q8):
+        f, q = np.asarray(f, np.float64), np.asarray(q, np.float64)
+        cos = (f * q).sum() / (np.linalg.norm(f) * np.linalg.norm(q) + 1e-12)
+        assert cos > 0.99, cos
