@@ -188,6 +188,8 @@ def main():
         sids = jnp.asarray(rng.randint(1, 1000, (n_streams, 20)).astype(np.int32))
         engine = GroundingEngine(model, variables, cfg, n_streams=n_streams,
                                  n_frame=n_frame, topk=5, fuse_window=5)
+        if args.quant:
+            engine.quantize(frames[:16])
         state = engine.init_state(sids)
         state, fused, _, _ = engine.step(state, frames)  # compile
         np.asarray(fused)
@@ -213,6 +215,7 @@ def main():
             "vs_baseline": round(fps / A100_REFERENCE_FPS_ESTIMATE, 3),
             "extra": {"n_streams": n_streams, "p50_per_frame_ms":
                       round(dt_step / n_streams * 1000, 3),
+                      "quant_int8_backbone": bool(args.quant),
                       "image_size": size, "dtype": str(dtype.__name__)},
         }))
         return

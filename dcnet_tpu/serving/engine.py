@@ -58,10 +58,30 @@ class GroundingEngine:
         self.topk = topk
         self.fuse_window = fuse_window
         self.mesh = mesh
+        self.qparams = None
         self._step = jax.jit(self._step_impl)
         self._encode_lang = jax.jit(
             lambda v, ids: self.model.apply(v, ids,
                                             method=DCNet.encode_language))
+
+    def quantize(self, calib_frames) -> "GroundingEngine":
+        """Switch the per-frame backbone to the int8 path (ops/quant.py):
+        calibrates activation scales on `calib_frames` (M, H, W, 3) — use
+        representative stream frames — and re-jits the step. The trunk,
+        fusion, and language paths stay float."""
+        from dcnet_tpu.ops import quant as Q
+        self.qparams = Q.quantize_model_backbone(
+            self.model, self.variables, jnp.asarray(calib_frames))
+        self._step = jax.jit(self._step_impl)
+        return self
+
+    def _extract(self, variables, frames):
+        if self.qparams is not None:
+            from dcnet_tpu.ops import quant as Q
+            return Q.quant_extract_features(
+                self.model, variables, self.qparams, frames)
+        return self.model.apply(variables, frames,
+                                method=DCNet.extract_features)
 
     def init_state(self, word_ids) -> StreamState:
         """word_ids: (N, L) — each stream's referring phrase. The language
@@ -130,9 +150,8 @@ class GroundingEngine:
         (new_state, fused_box (N, 4), raw_box (N, 4), score (N,))."""
         model, cfg = self.model, self.cfg
 
-        # 1. backbone only on the new frames
-        new_feats = model.apply(variables, frames,
-                                method=DCNet.extract_features)
+        # 1. backbone only on the new frames (int8 path after .quantize())
+        new_feats = self._extract(variables, frames)
         # 2. shift the rings, append the new frame at the end
         rings = tuple(
             jnp.concatenate([ring[:, 1:], f[:, None]], axis=1)

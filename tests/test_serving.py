@@ -136,3 +136,31 @@ def test_query_hot_swap(setup):
     assert np.abs(np.asarray(raw_new[0]) - np.asarray(raw_ref[0])).max() > 0
     np.testing.assert_allclose(np.asarray(raw_new[1]), np.asarray(raw_ref[1]),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_quantized_engine_close_to_float(setup):
+    """engine.quantize() (int8 backbone) tracks the float engine's raw
+    predictions: boxes near-identical after a full window."""
+    model, variables = setup
+    rng = np.random.RandomState(5)
+    n_frame = 5
+    frames = rng.rand(n_frame, 2, 64, 64, 3).astype(np.float32)
+    word_ids = rng.randint(1, 50, (2, 20)).astype(np.int32)
+
+    def run(engine):
+        state = engine.init_state(word_ids)
+        for t in range(n_frame):
+            state, fused, raw, score = engine.step(state, frames[t])
+        return np.asarray(raw), np.asarray(score)
+
+    fp = GroundingEngine(model, variables, CFG, n_streams=2,
+                         n_frame=n_frame, topk=3, fuse_window=3)
+    q8 = GroundingEngine(model, variables, CFG, n_streams=2,
+                         n_frame=n_frame, topk=3, fuse_window=3)
+    q8.quantize(frames.reshape(-1, 64, 64, 3))
+    raw_fp, score_fp = run(fp)
+    raw_q8, score_q8 = run(q8)
+    from dcnet_tpu.ops.boxes import bbox_iou
+    iou = np.asarray(bbox_iou(jnp.asarray(raw_q8), jnp.asarray(raw_fp)))
+    assert (iou > 0.9).all(), iou
+    np.testing.assert_allclose(score_q8, score_fp, rtol=0.2, atol=0.05)
