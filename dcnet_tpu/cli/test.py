@@ -61,6 +61,11 @@ def main(argv=None):
                              "frames of the split; implies --stream_eval")
     parser.add_argument("--calib_frames", default=32, type=int,
                         help="calibration frames for --quant")
+    parser.add_argument("--quant_params", default="", type=str,
+                        help="with --quant: load the int8 backbone from "
+                             "this .npz if it exists, else calibrate and "
+                             "save it there (the deployable quantized "
+                             "artifact, ops/quant.py)")
     args = parser.parse_args(argv)
     if args.quant:
         args.stream_eval = True
@@ -249,27 +254,33 @@ def _stream_eval(args, ds, cfg, model, state):
     if getattr(args, "quant", False):
         # int8 backbone: calibrate activation scales on the first frames of
         # the split, then run the quantized stack + float mapping head
+        import os
         from dcnet_tpu.ops import quant as Q
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
-        # calibration frames: the first distinct frames of the split,
-        # through the same decode+letterbox+normalize preprocessing
-        calib = []
-        seen = []
-        for row in ds.chunks:
-            for p in row[0]:
-                if p not in seen:
-                    seen.append(p)
+        if args.quant_params and os.path.exists(args.quant_params):
+            qparams = Q.load_qparams(args.quant_params)
+        else:
+            # calibration frames: the first distinct frames of the split,
+            # through the same decode+letterbox+normalize preprocessing
+            calib = []
+            seen = []
+            for row in ds.chunks:
+                for p in row[0]:
+                    if p not in seen:
+                        seen.append(p)
+                    if len(seen) >= args.calib_frames:
+                        break
                 if len(seen) >= args.calib_frames:
                     break
-            if len(seen) >= args.calib_frames:
-                break
-        for p in seen:
-            img = ds._read_image(p)
-            img, *_ = T.letterbox(img, ds.imsize)
-            calib.append(T.normalize_image(img).astype(np.float32))
-        qparams = Q.quantize_model_backbone(
-            model, variables, jnp.asarray(np.stack(calib)))
+            for p in seen:
+                img = ds._read_image(p)
+                img, *_ = T.letterbox(img, ds.imsize)
+                calib.append(T.normalize_image(img).astype(np.float32))
+            qparams = Q.quantize_model_backbone(
+                model, variables, jnp.asarray(np.stack(calib)))
+            if args.quant_params:
+                Q.save_qparams(args.quant_params, qparams)
 
         @jax.jit
         def extract(params, batch_stats, images):
@@ -297,13 +308,25 @@ def _stream_eval(args, ds, cfg, model, state):
         # unique frame sequence: rows are consecutive sliding windows, so
         # frames = first window + the last frame of each later window
         paths = list(rows[0][0]) + [r[0][-1] for r in rows[1:]]
-        imgs, metas = [], []
-        for p in paths:  # decode ONCE per frame (vs once per window)
-            img = ds._read_image(p)
-            img, ratio, dw, dh = T.letterbox(img, ds.imsize)
-            imgs.append(T.normalize_image(img).astype(np.float32))
-            metas.append((ratio, dw, dh))
-        frames = np.stack(imgs)
+        from dcnet_tpu import native
+        if ds.use_native is not False and native.available():
+            # one native call decodes+letterboxes the whole video in
+            # parallel (bit-identical to the Python path below)
+            import os as _os
+            full = [_os.path.join(ds.image_root, p) for p in paths]
+            frames, ratios, dws, dhs, ok = native.decode_letterbox_batch(
+                full, ds.imsize, T.IMAGENET_MEAN, T.IMAGENET_STD)
+            if not ok.all():
+                raise FileNotFoundError(full[int(np.argmin(ok))])
+            metas = list(zip(ratios, dws, dhs))
+        else:
+            imgs, metas = [], []
+            for p in paths:  # decode ONCE per frame (vs once per window)
+                img = ds._read_image(p)
+                img, ratio, dw, dh = T.letterbox(img, ds.imsize)
+                imgs.append(T.normalize_image(img).astype(np.float32))
+                metas.append((ratio, dw, dh))
+            frames = np.stack(imgs)
         n_frames = frames.shape[0]
 
         feats = None  # per scale (T, h, w, C), built in padded batches

@@ -217,3 +217,28 @@ def quant_extract_features(model, variables, qparams,
     from dcnet_tpu.models.dcnet import DCNet
     raw = backbone_apply_int8(model_layer_defs(model), qparams, images)
     return model.apply(variables, raw, method=DCNet.map_features)
+
+
+# --------------------------------------------------------------------------
+# Quantized-artifact serialization (deployment format)
+# --------------------------------------------------------------------------
+
+def save_qparams(path: str, qparams: Dict) -> None:
+    """Write the quantized backbone to one .npz (int8 weights + fp32
+    scales/biases — ~4x smaller than the float backbone)."""
+    flat = {}
+    for i, d in qparams.items():
+        for k, v in d.items():
+            flat[f"{i}/{k}"] = np.asarray(v)
+    import os
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **flat)
+
+
+def load_qparams(path: str) -> Dict:
+    data = np.load(path)
+    q: Dict[str, Dict[str, jnp.ndarray]] = {}
+    for key in data.files:
+        i, k = key.split("/", 1)
+        q.setdefault(i, {})[k] = jnp.asarray(data[key])
+    return q

@@ -108,3 +108,26 @@ def test_quant_extract_features_matches_model():
         f, q = np.asarray(f, np.float64), np.asarray(q, np.float64)
         cos = (f * q).sum() / (np.linalg.norm(f) * np.linalg.norm(q) + 1e-12)
         assert cos > 0.99, cos
+
+
+def test_qparams_roundtrip(tmp_path):
+    """save_qparams/load_qparams preserve dtypes and values exactly."""
+    defs = mini_backbone_defs()
+    _, variables, x = _init_backbone(defs, 64)
+    cal = quant.merge_calibration([quant.calibrate(
+        defs, variables["params"], variables["batch_stats"], x)])
+    qp = quant.quantize_backbone(defs, variables["params"],
+                                 variables["batch_stats"], cal)
+    path = str(tmp_path / "backbone_int8.npz")
+    quant.save_qparams(path, qp)
+    qp2 = quant.load_qparams(path)
+    assert set(qp2) == set(qp)
+    for i in qp:
+        for k in qp[i]:
+            assert qp2[i][k].dtype == qp[i][k].dtype, (i, k)
+            np.testing.assert_array_equal(np.asarray(qp2[i][k]),
+                                          np.asarray(qp[i][k]))
+    a = quant.backbone_apply_int8(defs, qp, x)
+    b = quant.backbone_apply_int8(defs, qp2, x)
+    for fa, fb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
