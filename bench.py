@@ -66,11 +66,22 @@ def main():
     ap.add_argument("--host", action="store_true",
                     help="host input pipeline only (decode+letterbox+"
                          "normalize), native C++ core vs Python/cv2")
-    ap.add_argument("--quant", action="store_true",
-                    help="int8 post-training-quantized backbone on the "
-                         "eval path (static calibrated scales; the v5e "
-                         "MXU int8 path is 2x bf16 peak)")
+    ap.add_argument("--quant", dest="quant", action="store_true",
+                    default=None,
+                    help="int8 post-training-quantized backbone (static "
+                         "calibrated scales; the v5e MXU int8 path is 2x "
+                         "bf16 peak). DEFAULT for the eval headline — "
+                         "trained-weights accuracy is within noise of "
+                         "float (BENCH_NOTES.md); --no_quant for the "
+                         "bf16-backbone A/B")
+    ap.add_argument("--no_quant", dest="quant", action="store_false")
     args = ap.parse_args()
+    if args.quant is None:
+        # default: int8 for the eval headline (the production serving
+        # config); other modes opt in explicitly
+        args.quant = not (args.train or args.serving or args.backbone
+                          or args.bert or args.single or args.host
+                          or args.smoke or args.fp32)
 
     if args.host:
         return bench_host_pipeline(args)
