@@ -237,18 +237,29 @@ def main():
         defs = Q.model_layer_defs(model)
         b = clips
 
-        @jax.jit
-        def step(variables, images, word_ids, carry):
-            images = images + carry * 0.0
-            raw = Q.backbone_apply_int8(defs, qparams, images)
-            mapped = model.apply(variables, raw,
-                                 method=DCNetCls.map_features)
-            per_frame = [f.reshape(b, n_frame, *f.shape[1:])
-                         for f in mapped]
-            out = model.apply(variables, per_frame, word_ids,
-                              method=DCNetCls.eval_features)
-            dec = decode_best(out.outbox, cfg)
-            return dec.boxes, jnp.sum(dec.score)
+        if args.backbone:
+            # step-time breakdown: the int8 backbone + mapping alone
+            @jax.jit
+            def step(variables, images, word_ids, carry):
+                raw = Q.backbone_apply_int8(defs, qparams,
+                                            images + carry * 0.0)
+                feats = model.apply(variables, raw,
+                                    method=DCNetCls.map_features)
+                return feats[0], sum(jnp.sum(f.astype(jnp.float32))
+                                     for f in feats)
+        else:
+            @jax.jit
+            def step(variables, images, word_ids, carry):
+                images = images + carry * 0.0
+                raw = Q.backbone_apply_int8(defs, qparams, images)
+                mapped = model.apply(variables, raw,
+                                     method=DCNetCls.map_features)
+                per_frame = [f.reshape(b, n_frame, *f.shape[1:])
+                             for f in mapped]
+                out = model.apply(variables, per_frame, word_ids,
+                                  method=DCNetCls.eval_features)
+                dec = decode_best(out.outbox, cfg)
+                return dec.boxes, jnp.sum(dec.score)
     elif args.backbone:
         @jax.jit
         def step(variables, images, word_ids, carry):

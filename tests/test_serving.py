@@ -164,3 +164,39 @@ def test_quantized_engine_close_to_float(setup):
     iou = np.asarray(bbox_iou(jnp.asarray(raw_q8), jnp.asarray(raw_fp)))
     assert (iou > 0.9).all(), iou
     np.testing.assert_allclose(score_q8, score_fp, rtol=0.2, atol=0.05)
+
+
+def test_exported_runtime_matches_engine(setup, tmp_path):
+    """jax.export bundle: the deserialized step/encoder programs reproduce
+    the live engine bit-for-bit, including the int8 backbone constants."""
+    from dcnet_tpu.serving.export import ServingRuntime, export_engine
+
+    model, variables = setup
+    rng = np.random.RandomState(7)
+    n_frame = 5
+    frames = rng.rand(n_frame, 2, 64, 64, 3).astype(np.float32)
+    word_ids = rng.randint(1, 50, (2, 20)).astype(np.int32)
+
+    engine = GroundingEngine(model, variables, CFG, n_streams=2,
+                             n_frame=n_frame, topk=3, fuse_window=3)
+    engine.quantize(frames.reshape(-1, 64, 64, 3))
+    bundle = str(tmp_path / "bundle")
+    export_engine(engine, bundle)
+
+    rt = ServingRuntime(bundle, variables)
+    assert rt.meta["quantized"] is True
+
+    s_e = engine.init_state(word_ids)
+    s_r = rt.init_state(word_ids)
+    for a, b in zip(s_e.language, s_r.language):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+    for t in range(n_frame):
+        s_e, fused_e, raw_e, score_e = engine.step(s_e, frames[t])
+        s_r, fused_r, raw_r, score_r = rt.step(s_r, frames[t])
+    np.testing.assert_allclose(np.asarray(raw_r), np.asarray(raw_e),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fused_r), np.asarray(fused_e),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(score_r), np.asarray(score_e),
+                               rtol=1e-4, atol=1e-4)
