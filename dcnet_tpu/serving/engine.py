@@ -235,3 +235,37 @@ def cast_params_for_serving(variables, dtype=None):
         "params": jax.tree_util.tree_map(cast, variables["params"]),
         "batch_stats": variables["batch_stats"],
     }
+
+
+def save_stream_state(path: str, state: StreamState) -> None:
+    """Persist all stream rings/caches to one .npz — streams survive an
+    engine restart or migrate between hosts (the serving analog of
+    --auto_resume; the reference has no serving layer to preempt)."""
+    import os
+    flat = {}
+    for i, r in enumerate(state.feat_rings):
+        flat[f"feat_rings/{i}"] = np.asarray(r)
+    for i, l in enumerate(state.language):
+        flat[f"language/{i}"] = np.asarray(l)
+    for k in ("cache_boxes", "cache_scores", "cache_feats", "frames_seen",
+              "word_ids"):
+        flat[k] = np.asarray(getattr(state, k))
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **flat)
+
+
+def load_stream_state(path: str) -> StreamState:
+    data = np.load(path)
+    def seq(prefix):
+        keys = sorted((k for k in data.files if k.startswith(prefix + "/")),
+                      key=lambda k: int(k.split("/")[1]))
+        return tuple(jnp.asarray(data[k]) for k in keys)
+    return StreamState(
+        feat_rings=seq("feat_rings"),
+        cache_boxes=jnp.asarray(data["cache_boxes"]),
+        cache_scores=jnp.asarray(data["cache_scores"]),
+        cache_feats=jnp.asarray(data["cache_feats"]),
+        frames_seen=jnp.asarray(data["frames_seen"]),
+        word_ids=jnp.asarray(data["word_ids"]),
+        language=seq("language"),
+    )

@@ -200,3 +200,30 @@ def test_exported_runtime_matches_engine(setup, tmp_path):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(score_r), np.asarray(score_e),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_stream_state_roundtrip_resume(setup, tmp_path):
+    """Mid-stream save/load: a resumed engine continues identically to an
+    uninterrupted one (serving preemption safety)."""
+    from dcnet_tpu.serving.engine import load_stream_state, save_stream_state
+
+    model, variables = setup
+    rng = np.random.RandomState(9)
+    frames = rng.rand(6, 2, 64, 64, 3).astype(np.float32)
+    word_ids = rng.randint(1, 50, (2, 20)).astype(np.int32)
+    engine = GroundingEngine(model, variables, CFG, n_streams=2,
+                             n_frame=5, topk=3, fuse_window=3)
+    state = engine.init_state(word_ids)
+    for t in range(3):
+        state, *_ = engine.step(state, frames[t])
+    path = str(tmp_path / "streams.npz")
+    save_stream_state(path, state)
+    resumed = load_stream_state(path)
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(resumed)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for t in range(3, 6):
+        state, fused_a, raw_a, _ = engine.step(state, frames[t])
+        resumed, fused_b, raw_b, _ = engine.step(resumed, frames[t])
+    np.testing.assert_array_equal(np.asarray(raw_a), np.asarray(raw_b))
+    np.testing.assert_array_equal(np.asarray(fused_a), np.asarray(fused_b))
