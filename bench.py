@@ -242,7 +242,8 @@ def main():
             @jax.jit
             def step(variables, images, word_ids, carry):
                 raw = Q.backbone_apply_int8(defs, qparams,
-                                            images + carry * 0.0)
+                                            images + carry * 0.0,
+                                            act_dtype=dtype)
                 feats = model.apply(variables, raw,
                                     method=DCNetCls.map_features)
                 return feats[0], sum(jnp.sum(f.astype(jnp.float32))
@@ -251,7 +252,8 @@ def main():
             @jax.jit
             def step(variables, images, word_ids, carry):
                 images = images + carry * 0.0
-                raw = Q.backbone_apply_int8(defs, qparams, images)
+                raw = Q.backbone_apply_int8(defs, qparams, images,
+                                            act_dtype=dtype)
                 mapped = model.apply(variables, raw,
                                      method=DCNetCls.map_features)
                 per_frame = [f.reshape(b, n_frame, *f.shape[1:])

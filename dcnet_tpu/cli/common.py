@@ -26,7 +26,6 @@ if os.environ.get("DCNET_CPU_DEVICES"):
     jax.config.update("jax_num_cpu_devices",
                       int(os.environ["DCNET_CPU_DEVICES"]))
 
-import numpy as np
 
 from dcnet_tpu.config import DCNetConfig
 from dcnet_tpu.data.corpus import Corpus

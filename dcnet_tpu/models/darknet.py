@@ -22,7 +22,6 @@ import io
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 import numpy as np
 

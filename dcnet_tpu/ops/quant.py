@@ -155,13 +155,19 @@ def quantize_backbone(layer_defs: Sequence[LayerDef], params: Dict,
     return q
 
 
-def int8_conv_fn(qparams: Dict
+def int8_conv_fn(qparams: Dict, act_dtype: Any = jnp.float32
                  ) -> Callable[[int, LayerDef, jnp.ndarray], jnp.ndarray]:
     """Int8 executor: static-scale quantize (fuses into the previous
-    epilogue) + s8 conv (MXU int path) + scale/bias/leaky epilogue."""
+    epilogue) + s8 conv (MXU int path) + scale/bias/leaky epilogue.
+
+    act_dtype: dtype of the float activations BETWEEN quantized convs
+    (the route/shortcut traffic). bfloat16 halves the HBM traffic of the
+    bandwidth-bound high-resolution early stages; the epilogue arithmetic
+    (scale/bias in fp32) is unaffected."""
     def fn(i: int, ld: LayerDef, x: jnp.ndarray) -> jnp.ndarray:
         qp = qparams[str(i)]
-        xq = jnp.clip(jnp.round(x * qp["inv_in"]), -127, 127).astype(jnp.int8)
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) * qp["inv_in"]),
+                      -127, 127).astype(jnp.int8)
         y = lax.conv_general_dilated(
             xq, qp["w"], (ld.stride, ld.stride),
             [(ld.pad, ld.pad), (ld.pad, ld.pad)], dimension_numbers=_DN,
@@ -169,7 +175,7 @@ def int8_conv_fn(qparams: Dict
         y = y.astype(jnp.float32) * qp["scale"] + qp["bias"]
         if ld.activation == "leaky":
             y = jax.nn.leaky_relu(y, 0.1)
-        return y
+        return y.astype(act_dtype)
     return fn
 
 
@@ -180,9 +186,10 @@ def backbone_apply_fp(layer_defs: Sequence[LayerDef], params: Dict,
 
 
 def backbone_apply_int8(layer_defs: Sequence[LayerDef], qparams: Dict,
-                        images: jnp.ndarray) -> List[jnp.ndarray]:
-    """Quantized traversal: the 3 captured feature maps, float32 out."""
-    return traverse(layer_defs, images, int8_conv_fn(qparams))
+                        images: jnp.ndarray, act_dtype: Any = jnp.float32
+                        ) -> List[jnp.ndarray]:
+    """Quantized traversal: the 3 captured feature maps (act_dtype out)."""
+    return traverse(layer_defs, images, int8_conv_fn(qparams, act_dtype))
 
 
 # --------------------------------------------------------------------------
@@ -213,9 +220,12 @@ def quantize_model_backbone(model, variables, calib_images,
 def quant_extract_features(model, variables, qparams,
                            images: jnp.ndarray) -> List[jnp.ndarray]:
     """Drop-in for DCNet.extract_features with the int8 backbone: quantized
-    conv stack + float mapping_visu/l2-norm (jit the caller)."""
+    conv stack + float mapping_visu/l2-norm (jit the caller). Inter-conv
+    activations ride in the model's compute dtype (bf16 in production)."""
     from dcnet_tpu.models.dcnet import DCNet
-    raw = backbone_apply_int8(model_layer_defs(model), qparams, images)
+    act_dtype = getattr(model, "dtype", jnp.float32)
+    raw = backbone_apply_int8(model_layer_defs(model), qparams, images,
+                              act_dtype=act_dtype)
     return model.apply(variables, raw, method=DCNet.map_features)
 
 

@@ -30,7 +30,6 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import export as jax_export
 
 from dcnet_tpu.serving.engine import GroundingEngine, StreamState
