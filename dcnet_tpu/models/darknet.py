@@ -231,6 +231,12 @@ class DarknetBackbone(nn.Module):
                         momentum=0.9,  # torch default 0.1 => flax 1-0.1
                         epsilon=1e-5, dtype=jnp.float32, name=f"bn_{i}",
                     )(x)
+                    if self.dtype != jnp.float32:
+                        # BN math stays fp32; the stored activation rides
+                        # HBM in the compute dtype (the train-path analog
+                        # of the int8 executor's act_dtype — halves the
+                        # fwd/bwd activation traffic in bf16 runs)
+                        x = x.astype(self.dtype)
                 if ld.activation == "leaky":
                     x = nn.leaky_relu(x, negative_slope=0.1)
             elif ld.type == "maxpool":

@@ -51,6 +51,9 @@ class ConvBNReLU(nn.Module):
                     dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.001,
                          epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
+        if self.dtype != jnp.float32:
+            # BN math fp32, stored activation in the compute dtype
+            x = x.astype(self.dtype)
         if self.leaky:
             x = nn.leaky_relu(x, negative_slope=0.1)
         elif self.relu:
@@ -89,6 +92,8 @@ class DenseBNReLU(nn.Module):
             x = lin.reshape(-1, self.features)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
+        if self.dtype != jnp.float32:
+            x = x.astype(self.dtype)
         return nn.relu(x)
 
 
