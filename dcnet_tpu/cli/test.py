@@ -308,10 +308,10 @@ def _stream_eval(args, ds, cfg, model, state):
         # unique frame sequence: rows are consecutive sliding windows, so
         # frames = first window + the last frame of each later window
         paths = list(rows[0][0]) + [r[0][-1] for r in rows[1:]]
-        from dcnet_tpu import native
-        if ds.use_native is not False and native.available():
+        if ds._native_on():  # raises if native explicitly requested but absent
             # one native call decodes+letterboxes the whole video in
             # parallel (bit-identical to the Python path below)
+            from dcnet_tpu import native
             import os as _os
             full = [_os.path.join(ds.image_root, p) for p in paths]
             frames, ratios, dws, dhs, ok = native.decode_letterbox_batch(

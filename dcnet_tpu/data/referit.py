@@ -65,9 +65,11 @@ class ReferItDataset:
             img_file, _, bbox, phrase = entry[0], entry[1], entry[2], entry[3]
         else:                     # referit/flickr/VID/OTB: (img, bbox, phrase)
             img_file, bbox, phrase = entry[0], entry[1], entry[2]
-        bbox = np.asarray(bbox, np.float64)
+        # np.array (not asarray): always copy, so in-place letterbox scaling
+        # in __getitem__ can never corrupt the stored index entry when a
+        # .pth index already holds float64 arrays (ADVICE r2).
+        bbox = np.array(bbox, np.float64)
         if self.dataset in _XYWH_DATASETS:
-            bbox = bbox.copy()
             bbox[2] += bbox[0]
             bbox[3] += bbox[1]
         return img_file, bbox, str(phrase)

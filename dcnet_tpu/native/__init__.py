@@ -46,9 +46,13 @@ def _build() -> Optional[str]:
                    None)
     if include is None:
         return "opencv4 headers not found"
+    # Compile to a per-pid temp path, then atomically rename into place:
+    # concurrent builders (parallel CLI runs, loader workers hitting the
+    # lazy first build) must never dlopen a half-written .so (ADVICE r2).
+    tmp_so = f"{_SO}.{os.getpid()}"
     cmd = [
         "g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-pthread",
-        f"-I{include}", _SRC, "-o", _SO,
+        f"-I{include}", _SRC, "-o", tmp_so,
     ] + [f"-l{lib}" for lib in _OPENCV_LIBS]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
@@ -56,6 +60,7 @@ def _build() -> Optional[str]:
         return f"g++ invocation failed: {e}"
     if proc.returncode != 0:  # pragma: no cover
         return f"g++ failed:\n{proc.stderr[-2000:]}"
+    os.replace(tmp_so, _SO)  # atomic on the same filesystem
     return None
 
 

@@ -79,8 +79,13 @@ def _fold_bn(params: Dict, stats: Dict, i: int) -> Tuple[jnp.ndarray, jnp.ndarra
     """(a, b) with  bn_eval(x) == x * a + b  (flax BatchNorm running-stats
     form: (x - mean) * rsqrt(var + eps) * scale + bias)."""
     bn_p, bn_s = params[f"bn_{i}"], stats[f"bn_{i}"]
-    a = bn_p["scale"] * lax.rsqrt(bn_s["var"] + _EPS)
-    return a, bn_p["bias"] - bn_s["mean"] * a
+    # fp32 regardless of stored param dtype: quantization math must work on
+    # bf16-cast serving params too (ADVICE r2).
+    scale, var = (jnp.asarray(bn_p["scale"], jnp.float32),
+                  jnp.asarray(bn_s["var"], jnp.float32))
+    a = scale * lax.rsqrt(var + _EPS)
+    return a, jnp.asarray(bn_p["bias"], jnp.float32) - jnp.asarray(
+        bn_s["mean"], jnp.float32) * a
 
 
 def fp_conv_fn(params: Dict, stats: Dict
@@ -89,13 +94,14 @@ def fp_conv_fn(params: Dict, stats: Dict
     DarknetBackbone(train=False) within BN-reassociation rounding."""
     def fn(i: int, ld: LayerDef, x: jnp.ndarray) -> jnp.ndarray:
         y = lax.conv_general_dilated(
-            x, params[f"conv_{i}"]["kernel"], (ld.stride, ld.stride),
+            x, jnp.asarray(params[f"conv_{i}"]["kernel"], x.dtype),
+            (ld.stride, ld.stride),
             [(ld.pad, ld.pad), (ld.pad, ld.pad)], dimension_numbers=_DN)
         if ld.batch_normalize:
             a, b = _fold_bn(params, stats, i)
             y = y * a + b
         else:
-            y = y + params[f"conv_{i}"]["bias"]
+            y = y + jnp.asarray(params[f"conv_{i}"]["bias"], y.dtype)
         if ld.activation == "leaky":
             y = jax.nn.leaky_relu(y, 0.1)
         return y
@@ -227,6 +233,55 @@ def quant_extract_features(model, variables, qparams,
     raw = backbone_apply_int8(model_layer_defs(model), qparams, images,
                               act_dtype=act_dtype)
     return model.apply(variables, raw, method=DCNet.map_features)
+
+
+# --------------------------------------------------------------------------
+# Trunk quantization (the ~20% of the eval step outside the backbone)
+# --------------------------------------------------------------------------
+#
+# The trunk convs (mapping_visu / corr_conv / fcn emb+out stacks — 1x1 and
+# 3x3 ConvBNReLUs, models/heads.py) carry ~230 GFLOP of the ~14 ms eval step
+# at clip-batch 16. They quantize through the model itself: DCNetConfig
+# .trunk_quant selects the mode and models/heads.py::QuantConv2D implements
+# the same static-scale PTQ design as the backbone path above (per-channel
+# int8 weights, per-tensor calibrated activations, dequant folded into the
+# following BN affine). The helpers here wrap the calibrate -> int8 flow.
+
+
+def trunk_quant_variant(model, mode: str):
+    """The same model with cfg.trunk_quant=mode (params are shared — the
+    variant only changes which conv executor traces)."""
+    import dataclasses
+    cfg = dataclasses.replace(model.cfg, trunk_quant=mode)
+    return type(model)(cfg=cfg, dtype=model.dtype,
+                       backbone_defs=model.backbone_defs)
+
+
+def calibrate_trunk(model, variables, apply_fn) -> Dict:
+    """Run `apply_fn(calib_model, variables, mutable=["quant"])` over a
+    calibration batch and return the 'quant' collection (per-conv input
+    abs-max). `apply_fn` should execute the same eval path that will run
+    quantized (eval_clip / eval_features / single_image)."""
+    calib = trunk_quant_variant(model, "calib")
+    _, col = apply_fn(calib, variables)
+    return col["quant"]
+
+
+def save_trunk_scales(path: str, quant_col: Dict) -> None:
+    """One .npz of the calibrated trunk activation scales."""
+    from flax.traverse_util import flatten_dict
+    flat = {"/".join(k): np.asarray(v)
+            for k, v in flatten_dict(quant_col).items()}
+    import os
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **flat)
+
+
+def load_trunk_scales(path: str) -> Dict:
+    from flax.traverse_util import unflatten_dict
+    data = np.load(path)
+    return unflatten_dict({tuple(k.split("/")): jnp.asarray(data[k])
+                           for k in data.files})
 
 
 # --------------------------------------------------------------------------

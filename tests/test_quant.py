@@ -110,6 +110,36 @@ def test_quant_extract_features_matches_model():
         assert cos > 0.99, cos
 
 
+def test_quantize_on_bf16_cast_params():
+    """Quantization must be dtype-agnostic w.r.t. stored param dtype: the
+    serving flow casts params to bf16 BEFORE engine.quantize() (ADVICE r2
+    regression — fp_conv_fn used to crash on mixed f32/bf16 conv)."""
+    from dcnet_tpu.serving.engine import cast_params_for_serving
+
+    cfg = DCNetConfig(image_size=64, corpus_size=100, interframe_top_k=16,
+                      interframe_neg_n=3, crossmodal_neg_n=3)
+    model = DCNet(cfg=cfg, backbone_defs=mini_backbone_defs())
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    ids = jnp.asarray(rng.randint(1, 100, (2, 20)).astype(np.int32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)}, imgs, ids, train=False)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+    fp32_qp = quant.quantize_model_backbone(model, variables, imgs)
+    cast = cast_params_for_serving(variables)
+    bf16_qp = quant.quantize_model_backbone(model, cast, imgs)
+    # int8 weights must agree exactly up to the bf16 rounding of the source
+    # kernel; scales stay fp32 either way
+    for i in fp32_qp:
+        assert bf16_qp[i]["w"].dtype == jnp.int8
+        assert bf16_qp[i]["scale"].dtype == jnp.float32
+        diff = np.abs(np.asarray(fp32_qp[i]["w"], np.int32)
+                      - np.asarray(bf16_qp[i]["w"], np.int32))
+        assert diff.max() <= 2, (i, diff.max())
+
+
 def test_qparams_roundtrip(tmp_path):
     """save_qparams/load_qparams preserve dtypes and values exactly."""
     defs = mini_backbone_defs()
@@ -131,3 +161,67 @@ def test_qparams_roundtrip(tmp_path):
     b = quant.backbone_apply_int8(defs, qp2, x)
     for fa, fb in zip(a, b):
         np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def _trunk_quant_setup():
+    cfg = DCNetConfig(image_size=64, corpus_size=100, interframe_top_k=16,
+                      interframe_neg_n=3, crossmodal_neg_n=3)
+    model = DCNet(cfg=cfg, backbone_defs=mini_backbone_defs())
+    rng = np.random.RandomState(0)
+    n_frame = 5
+    imgs = jnp.asarray(rng.rand(2 * n_frame, 64, 64, 3).astype(np.float32))
+    ids = jnp.asarray(rng.randint(1, 100, (2, 20)).astype(np.int32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)}, imgs[:2], ids, train=False)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+    return cfg, model, variables, imgs, ids, n_frame
+
+
+def test_trunk_quant_close_to_fp():
+    """cfg.trunk_quant='int8' (static-PTQ trunk convs) stays close to the
+    float eval on the same params; the calibrated 'quant' collection has
+    one act_max per trunk conv."""
+    cfg, model, variables, imgs, ids, n_frame = _trunk_quant_setup()
+    fp = model.apply(variables, imgs, ids, n_frame=n_frame,
+                     method=DCNet.eval_clip)
+    qcol = quant.calibrate_trunk(
+        model, variables,
+        lambda m, v: m.apply(v, imgs, ids, n_frame=n_frame,
+                             method=type(m).eval_clip, mutable=["quant"]))
+    from flax.traverse_util import flatten_dict
+    leaves = flatten_dict(qcol)
+    assert len(leaves) >= 9  # 3 mapping + 3 corr + 3 fcn stacks minimum
+    assert all(float(v) > 0 for v in leaves.values())
+    m8 = quant.trunk_quant_variant(model, "int8")
+    q8 = m8.apply({**variables, "quant": qcol}, imgs, ids, n_frame=n_frame,
+                  method=type(m8).eval_clip)
+    for f, q in zip(fp.outbox, q8.outbox):
+        f = np.asarray(f, np.float64).ravel()
+        q = np.asarray(q, np.float64).ravel()
+        cos = (f * q).sum() / (np.linalg.norm(f) * np.linalg.norm(q) + 1e-12)
+        assert cos > 0.99, cos
+    # fp path of the variant is IDENTICAL to the plain model (same params,
+    # same arithmetic) — the quant machinery must not perturb mode='off'
+    off = quant.trunk_quant_variant(model, "off")
+    fp2 = off.apply(variables, imgs, ids, n_frame=n_frame,
+                    method=type(off).eval_clip)
+    for a, b in zip(fp.outbox, fp2.outbox):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trunk_scales_roundtrip(tmp_path):
+    cfg, model, variables, imgs, ids, n_frame = _trunk_quant_setup()
+    qcol = quant.calibrate_trunk(
+        model, variables,
+        lambda m, v: m.apply(v, imgs, ids, n_frame=n_frame,
+                             method=type(m).eval_clip, mutable=["quant"]))
+    path = str(tmp_path / "trunk_scales.npz")
+    quant.save_trunk_scales(path, qcol)
+    qcol2 = quant.load_trunk_scales(path)
+    from flax.traverse_util import flatten_dict
+    a, b = flatten_dict(qcol), flatten_dict(qcol2)
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
