@@ -116,6 +116,14 @@ class DCNetConfig:
                                     # for sharding over a 'model' mesh axis
     remat_backbone: bool = False    # rematerialize backbone activations
                                     # in backward (HBM for FLOPs trade)
+    trunk_quant: str = "off"        # static-scale int8 PTQ of the trunk
+                                    # convs (mapping_visu/corr_conv/fcn —
+                                    # the ~20% of the eval step the int8
+                                    # backbone doesn't cover). "off" |
+                                    # "calib" (float pass recording per-conv
+                                    # input abs-max into the mutable 'quant'
+                                    # collection) | "int8" (quantized eval
+                                    # using the calibrated scales)
 
     def __post_init__(self):
         # Clamp correspondence sampling to what the coarsest grid offers

@@ -78,7 +78,8 @@ class DCNet(nn.Module):
         self.backbone = backbone_cls(
             layer_defs=defs, dtype=self.dtype, name="visumodel")
         self.mapping_visu = tuple(
-            ConvBNReLU(cfg.emb_size, 1, dtype=self.dtype, name=f"mapping_visu_{i}")
+            ConvBNReLU(cfg.emb_size, 1, dtype=self.dtype,
+                       quant=cfg.trunk_quant, name=f"mapping_visu_{i}")
             for i in range(3))
         if cfg.use_lstm:
             self.textmodel = BiLSTMEncoder(
@@ -96,7 +97,8 @@ class DCNet(nn.Module):
             cfg.emb_size, dropout=cfg.jemb_dropout, dtype=self.dtype,
             name="mapping_lang")
         self.corr_conv = tuple(
-            ConvBNReLU(cfg.emb_size, 1, dtype=self.dtype, name=f"corr_conv_{i}")
+            ConvBNReLU(cfg.emb_size, 1, dtype=self.dtype,
+                       quant=cfg.trunk_quant, name=f"corr_conv_{i}")
             for i in range(3))
         # Conv1d(query_len -> query_len, k=3) smoothing of the word-patch map
         self.feature_map_conv = nn.Conv(
@@ -109,7 +111,7 @@ class DCNet(nn.Module):
             cfg.emb_size, dtype=self.dtype, name="loc_text_embedding")
         self.fcn = tuple(
             FusionFCN(cfg.emb_size, light=cfg.light, dtype=self.dtype,
-                      name=f"fcn_{i}")
+                      quant=cfg.trunk_quant, name=f"fcn_{i}")
             for i in range(3))
 
     # ------------------------------------------------------------------

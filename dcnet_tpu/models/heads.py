@@ -28,6 +28,63 @@ def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndar
     return x * jax.lax.rsqrt(jnp.maximum(sq, eps * eps))
 
 
+class QuantConv2D(nn.Module):
+    """Bias-free NHWC conv with an optional static-scale int8 eval path.
+
+    Drop-in for the `nn.Conv(use_bias=False)` inside ConvBNReLU: same param
+    name ("kernel"), shape, init, and float arithmetic, so checkpoints and
+    the reference bridge are unaffected. The extra modes extend the
+    backbone's PTQ design (ops/quant.py) to the trunk convs:
+
+    - mode="calib": float conv + record the per-conv input abs-max into the
+      mutable 'quant' collection (apply with mutable=["quant"]).
+    - mode="int8": per-OUTPUT-CHANNEL int8 weights (scale = max|w|/127,
+      quantized at trace time from the stored float kernel — negligible
+      next to the conv itself) x per-tensor static int8 activations
+      (scale = calibrated abs-max/127; the round/clip/cast fuses into the
+      previous layer's epilogue, no runtime max-reduce). The s8xs8->s32
+      conv rides the v5e MXU int path at 2x bf16 peak; the dequant is a
+      per-channel fp32 scale XLA folds into the following BN affine.
+    """
+
+    features: int
+    kernel: int = 1
+    stride: int = 1
+    dtype: Any = jnp.float32
+    mode: str = "off"  # off | calib | int8 (cfg.trunk_quant)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        pad = (self.kernel - 1) // 2
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.kernel, self.kernel, x.shape[-1], self.features),
+                       jnp.float32)
+        dn = ("NHWC", "HWIO", "NHWC")
+        strides = (self.stride, self.stride)
+        padding = [(pad, pad), (pad, pad)]
+        if self.mode in ("calib", "int8"):
+            amax = self.variable("quant", "act_max",
+                                 lambda: jnp.zeros((), jnp.float32))
+        if self.mode == "calib" and not self.is_initializing():
+            amax.value = jnp.maximum(
+                amax.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+        if self.mode == "int8" and not self.is_initializing():
+            w32 = w.astype(jnp.float32)
+            s_w = jnp.maximum(jnp.max(jnp.abs(w32), axis=(0, 1, 2)),
+                              1e-12) / 127.0
+            s_in = jnp.maximum(amax.value, 1e-12) / 127.0
+            xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_in),
+                          -127, 127).astype(jnp.int8)
+            wq = jnp.clip(jnp.round(w32 / s_w), -127, 127).astype(jnp.int8)
+            y = jax.lax.conv_general_dilated(
+                xq, wq, strides, padding, dimension_numbers=dn,
+                preferred_element_type=jnp.int32)
+            return y.astype(jnp.float32) * (s_in * s_w)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w.astype(self.dtype), strides, padding,
+            dimension_numbers=dn)
+
+
 class ConvBNReLU(nn.Module):
     """Conv -> BN(eps 1e-5, torch momentum 0.999) -> ReLU/LeakyReLU.
 
@@ -41,14 +98,13 @@ class ConvBNReLU(nn.Module):
     leaky: bool = False
     relu: bool = True
     dtype: Any = jnp.float32
+    quant: str = "off"  # cfg.trunk_quant, see QuantConv2D
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        pad = (self.kernel - 1) // 2
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride),
-                    padding=[(pad, pad), (pad, pad)], use_bias=False,
-                    dtype=self.dtype, name="conv")(x)
+        x = QuantConv2D(self.features, self.kernel, self.stride,
+                        dtype=self.dtype, mode="off" if train else self.quant,
+                        name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.001,
                          epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
         if self.dtype != jnp.float32:
@@ -125,25 +181,27 @@ class FusionFCN(nn.Module):
     light: bool = False
     leaky: bool = False
     dtype: Any = jnp.float32
+    quant: str = "off"  # cfg.trunk_quant, see QuantConv2D
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         e = self.emb_size
+        q = self.quant
         if self.light:
             x = ConvBNReLU(e, 1, leaky=self.leaky, dtype=self.dtype,
-                           name="emb0")(x, train)
+                           quant=q, name="emb0")(x, train)
         else:
             x = ConvBNReLU(e, 1, leaky=self.leaky, dtype=self.dtype,
-                           name="emb0")(x, train)
+                           quant=q, name="emb0")(x, train)
             x = ConvBNReLU(e, 3, leaky=self.leaky, dtype=self.dtype,
-                           name="emb1")(x, train)
+                           quant=q, name="emb1")(x, train)
             x = ConvBNReLU(e, 1, leaky=self.leaky, dtype=self.dtype,
-                           name="emb2")(x, train)
+                           quant=q, name="emb2")(x, train)
         intmd = x
         if not self.light:
             x = ConvBNReLU(e // 2, 1, leaky=self.leaky, dtype=self.dtype,
-                           name="out0")(x, train)
+                           quant=q, name="out0")(x, train)
         x = nn.Conv(ANCHORS_PER_SCALE * BOX_ATTRS, (1, 1), dtype=self.dtype,
                     name="out1")(x)
         b, h, w, _ = x.shape
