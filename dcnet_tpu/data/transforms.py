@@ -169,3 +169,73 @@ def denormalize_image(img: np.ndarray) -> np.ndarray:
     reference's 0.299-vs-0.229 typo at train_DCNet.py:233)."""
     out = (img * IMAGENET_STD + IMAGENET_MEAN) * 255.0
     return np.clip(out, 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Dead-code parity: the reference exports four resize transforms that no DCNet
+# path calls (/root/reference/utils/transforms.py:16-114, re-exported at
+# utils/__init__.py:12-16 with only commented imports remaining). Ported for
+# API completeness like the other dead components (losses_extra, segmentation
+# metrics). Host-side ones stay numpy/cv2; the tensor-side ones use
+# jax.image.resize (the reference used torch F.upsample bilinear).
+# ---------------------------------------------------------------------------
+
+
+def resize_pad(img: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    """Aspect-preserving resize + center-pad to (h, w) with zeros
+    (ResizePad, /root/reference/utils/transforms.py:16-46). Grayscale
+    inputs come back HW1, color HWC — matching the reference's contract."""
+    out_h, out_w = size
+    h, w = img.shape[:2]
+    scale = min(out_h / h, out_w / w)
+    rh, rw = int(np.round(h * scale)), int(np.round(w * scale))
+    pad_h, pad_w = (out_h - rh) // 2, (out_w - rw) // 2
+    resized = cv2.resize(img, (rw, rh))
+    if img.ndim <= 2:
+        resized = resized[..., None]
+    out = np.zeros((out_h, out_w, resized.shape[-1]), resized.dtype)
+    out[pad_h:pad_h + rh, pad_w:pad_w + rw] = resized
+    return out
+
+
+def crop_resize(img, size: Tuple[int, int]):
+    """Undo resize_pad on a 2-D map: bilinear-resize by the MAX ratio, then
+    center-crop to (h, w) (CropResize, reference transforms.py:49-75 —
+    the inverse used to map mask predictions back to input geometry)."""
+    import jax.numpy as jnp
+    from jax.image import resize as jresize
+
+    img = jnp.asarray(img)
+    in_h, in_w = size
+    im_h, im_w = img.shape[:2]
+    scale = max(in_h / im_h, in_w / im_w)
+    rh, rw = int(np.round(im_h * scale)), int(np.round(im_w * scale))
+    crop_h, crop_w = (rh - in_h) // 2, (rw - in_w) // 2
+    resized = jresize(img, (rh, rw), method="bilinear")
+    return resized[crop_h:crop_h + in_h, crop_w:crop_w + in_w]
+
+
+def resize_image(img, size: int):
+    """Scale so the LARGEST side equals `size` (aspect kept), bilinear —
+    CHW tensor in/out (ResizeImage, reference transforms.py:78-94)."""
+    import jax.numpy as jnp
+    from jax.image import resize as jresize
+
+    img = jnp.asarray(img)
+    im_h, im_w = img.shape[-2:]
+    scale = min(size / im_h, size / im_w)
+    rh, rw = int(np.round(im_h * scale)), int(np.round(im_w * scale))
+    return jresize(img, (*img.shape[:-2], rh, rw), method="bilinear")
+
+
+def resize_annotation(ann, size: int):
+    """resize_image for a 2-D annotation/mask map (ResizeAnnotation,
+    reference transforms.py:97-114)."""
+    import jax.numpy as jnp
+    from jax.image import resize as jresize
+
+    ann = jnp.asarray(ann)
+    im_h, im_w = ann.shape[-2:]
+    scale = min(size / im_h, size / im_w)
+    rh, rw = int(np.round(im_h * scale)), int(np.round(im_w * scale))
+    return jresize(ann, (rh, rw), method="bilinear")

@@ -51,7 +51,7 @@ def _metrics_line(text):
 @pytest.mark.skipif(
     not (os.path.exists("saved_models/converge32b")
          and os.path.exists("data/synthetic32")),
-    reason="local trained checkpoint / synthetic corpus not present")
+    reason="trained ckpt / synthetic corpus absent — regenerate with: python tools/make_converge32.py")
 def test_stream_eval_matches_standard(monkeypatch):
     """--stream_eval (backbone once per frame) reproduces the standard
     window-recompute eval metrics on trained weights."""
@@ -74,7 +74,7 @@ def test_stream_eval_matches_standard(monkeypatch):
 @pytest.mark.skipif(
     not (os.path.exists("saved_models/converge32b")
          and os.path.exists("data/synthetic32")),
-    reason="local trained checkpoint / synthetic corpus not present")
+    reason="trained ckpt / synthetic corpus absent — regenerate with: python tools/make_converge32.py")
 def test_quant_eval_close_to_fp(monkeypatch):
     """--quant (int8 backbone, calibrated scales) stays close to the float
     stream-eval metrics on trained weights — the accuracy cost of the 2x
@@ -134,3 +134,29 @@ def test_train_cli_one_step(tmp_path, monkeypatch):
         "--savename", "cli_train_test"])
     assert "accu" in out
     assert os.path.isdir(str(tmp_path / "saved_models" / "cli_train_test"))
+
+
+def test_data_parallel_eval_matches_single_device(tmp_path, monkeypatch):
+    """--data_parallel (the reference's eval-time DataParallel analog,
+    test_DCNet.py:273) reproduces single-device metrics exactly, including
+    a non-divisible final batch through the pad/shard/unpad path
+    (cli/test.py::put)."""
+    import jax
+    import dcnet_tpu.cli.test as tmod
+    from dcnet_tpu.data.synthetic import generate_synthetic_vid
+
+    assert len(jax.devices()) == 8  # conftest provisions the virtual mesh
+    root = str(tmp_path / "data")
+    generate_synthetic_vid(root, "test", num_videos=3, frames_per_video=9)
+    # 3 videos x 5 windows = 15 rows -> limit to 10: one full batch of 8
+    # plus a final batch of 2 that must be padded to 8 and un-padded
+    monkeypatch.setattr(tmod, "build_dataset",
+                        _patched_build_dataset(root, limit_rows=10))
+    monkeypatch.chdir(tmp_path)
+    base = ["--synthetic", "--lstm", "--mini", "--size", "64",
+            "--num_frame_k", "5", "--test", "--batch_size", "8",
+            "--workers", "0", "--savename", "cli_dp_test"]
+    acc_1, miou_1 = _metrics_line(_run_main(tmod, base))
+    acc_dp, miou_dp = _metrics_line(_run_main(tmod, base + ["--data_parallel"]))
+    assert acc_dp == acc_1
+    assert abs(miou_dp - miou_1) < 1e-6

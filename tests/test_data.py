@@ -292,3 +292,49 @@ def test_torch_pth_index_ingestion(tmp_path):
     torch.save(_RefCorpus(), f"{root}/corpus.pth")
     c = load_reference_corpus(f"{root}/corpus.pth")
     assert len(c) == 6 and "red" in c
+
+
+def test_resize_pad_geometry():
+    """resize_pad: aspect-preserving scale + centered zero padding
+    (ResizePad parity, reference utils/transforms.py:16-46)."""
+    import dcnet_tpu.data.transforms as T
+
+    img = np.full((100, 200, 3), 255, np.uint8)
+    out = T.resize_pad(img, (64, 64))
+    assert out.shape == (64, 64, 3)
+    # scale 0.32 -> 32x64 content, centered vertically at rows 16..48
+    assert (out[16:48] == 255).all()
+    assert (out[:16] == 0).all() and (out[48:] == 0).all()
+    gray = T.resize_pad(np.full((50, 50), 7, np.uint8), (64, 32))
+    assert gray.shape == (64, 32, 1)  # grayscale comes back HW1
+
+
+def test_crop_resize_inverts_resize_pad():
+    """crop_resize recovers a smooth map embedded by resize_pad (the
+    reference pairs them as pad-for-net / unpad-for-eval)."""
+    import dcnet_tpu.data.transforms as T
+
+    yy, xx = np.mgrid[0:40, 0:80].astype(np.float32)
+    field = (yy / 40 + xx / 80) / 2
+    padded = T.resize_pad(field, (64, 64))[..., 0]
+    # undo: network output (64x64) back to the original 40x80 geometry
+    recovered = np.asarray(T.crop_resize(padded, (40, 80)))
+    assert recovered.shape == (40, 80)
+    inner = (slice(4, 36), slice(8, 72))  # away from pad-boundary blur
+    assert np.abs(recovered[inner] - field[inner]).max() < 0.05
+
+
+def test_resize_image_and_annotation_scale_largest_side():
+    """resize_image / resize_annotation: largest side -> size, aspect kept
+    (ResizeImage/ResizeAnnotation parity, reference transforms.py:78-114)."""
+    import dcnet_tpu.data.transforms as T
+
+    img = np.random.RandomState(0).rand(3, 60, 120).astype(np.float32)
+    out = np.asarray(T.resize_image(img, 32))
+    assert out.shape == (3, 16, 32)
+    ann = np.random.RandomState(1).rand(90, 45).astype(np.float32)
+    out2 = np.asarray(T.resize_annotation(ann, 30))
+    assert out2.shape == (30, 15)
+    # constant maps stay constant under bilinear resampling
+    const = np.asarray(T.resize_annotation(np.ones((50, 70), np.float32), 35))
+    np.testing.assert_allclose(const, 1.0, atol=1e-6)
