@@ -15,6 +15,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
+
+pytestmark = pytest.mark.slow  # minutes-long 256px/bridge suites
 import torch
 
 from dcnet_tpu.config import DCNetConfig

@@ -17,6 +17,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
+
+pytestmark = pytest.mark.slow  # minutes-long 256px/bridge suites
 import torch
 import torch.nn as nn
 import torch.nn.functional as F
