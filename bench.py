@@ -71,6 +71,14 @@ def main():
     ap.add_argument("--host", action="store_true",
                     help="host input pipeline only (decode+letterbox+"
                          "normalize), native C++ core vs Python/cv2")
+    ap.add_argument("--quant_trunk", dest="quant_trunk", action="store_true",
+                    default=None,
+                    help="ALSO quantize the trunk convs (mapping/corr_conv/"
+                         "fcn — cfg.trunk_quant static PTQ). Defaults on "
+                         "for the eval headline when --quant is on; "
+                         "--no_quant_trunk for the backbone-only-int8 A/B")
+    ap.add_argument("--no_quant_trunk", dest="quant_trunk",
+                    action="store_false")
     ap.add_argument("--quant", dest="quant", action="store_true",
                     default=None,
                     help="int8 post-training-quantized backbone (static "
@@ -207,7 +215,9 @@ def main():
         engine = GroundingEngine(model, variables, cfg, n_streams=n_streams,
                                  n_frame=n_frame, topk=5, fuse_window=5)
         if args.quant:
-            engine.quantize(frames[:16])
+            engine.quantize(frames[:16], calib_word_ids=sids[:1],
+                            trunk=(True if args.quant_trunk is None
+                                   else args.quant_trunk))
         state = engine.init_state(sids)
         state, fused, _, _ = engine.step(state, frames)  # compile
         np.asarray(fused)
@@ -234,6 +244,9 @@ def main():
             "extra": {"n_streams": n_streams, "p50_per_frame_ms":
                       round(dt_step / n_streams * 1000, 3),
                       "quant_int8_backbone": bool(args.quant),
+                      "quant_int8_trunk": bool(
+                          args.quant and (True if args.quant_trunk is None
+                                          else args.quant_trunk)),
                       "image_size": size, "dtype": str(dtype.__name__)},
         }))
         return
@@ -243,6 +256,20 @@ def main():
         qparams = Q.quantize_model_backbone(model, variables, images)
         defs = Q.model_layer_defs(model)
         b = clips
+
+        if args.quant_trunk is None:
+            args.quant_trunk = not args.backbone
+        if args.quant_trunk:
+            # static-PTQ the trunk convs too: calibrate on the float path,
+            # then swap in the cfg.trunk_quant="int8" model variant
+            # (params shared; only the conv executor changes)
+            qcol = Q.calibrate_trunk(
+                model, variables,
+                lambda m, v: m.apply(v, images, word_ids, n_frame=n_frame,
+                                     method=DCNetCls.eval_clip,
+                                     mutable=["quant"]))
+            model = Q.trunk_quant_variant(model, "int8")
+            variables = {**variables, "quant": qcol}
 
         if args.backbone:
             # step-time breakdown: the int8 backbone + mapping alone
@@ -320,6 +347,7 @@ def main():
             "clip_batch": clips, "n_frame": n_frame, "image_size": size,
             "dtype": str(dtype.__name__),
             "quant_int8_backbone": bool(args.quant),
+            "quant_int8_trunk": bool(args.quant and args.quant_trunk),
             "device": str(jax.devices()[0].platform),
         },
     }))

@@ -66,6 +66,10 @@ def main(argv=None):
                              "this .npz if it exists, else calibrate and "
                              "save it there (the deployable quantized "
                              "artifact, ops/quant.py)")
+    parser.add_argument("--quant_trunk", action="store_true",
+                        help="with --quant: ALSO static-PTQ the trunk convs "
+                             "(mapping_visu/corr_conv/fcn — "
+                             "cfg.trunk_quant, models/heads.py::QuantConv2D)")
     args = parser.parse_args(argv)
     if args.quant:
         args.stream_eval = True
@@ -282,10 +286,36 @@ def _stream_eval(args, ds, cfg, model, state):
             if args.quant_params:
                 Q.save_qparams(args.quant_params, qparams)
 
+        qcol = None
+        if getattr(args, "quant_trunk", False):
+            # trunk PTQ: calibrate the trunk convs' activation scales on a
+            # float eval_clip pass over the first clip, then trace the
+            # cfg.trunk_quant="int8" model variant (params shared)
+            s0 = ds[0]
+            ci = jnp.asarray(s0["images"].astype(np.float32))
+            cw = jnp.asarray(s0["word_ids"][center:center + 1].astype(np.int32))
+            qcol = Q.calibrate_trunk(
+                model, variables,
+                lambda m, v: m.apply(v, ci, cw, n_frame=k,
+                                     method=type(m).eval_clip,
+                                     mutable=["quant"]))
+            model = Q.trunk_quant_variant(model, "int8")
+
+        def _vars(params, batch_stats):
+            v = {"params": params, "batch_stats": batch_stats}
+            if qcol is not None:
+                v["quant"] = qcol  # scalar scales; baked into the trace
+            return v
+
         @jax.jit
         def extract(params, batch_stats, images):
-            v = {"params": params, "batch_stats": batch_stats}
-            return Q.quant_extract_features(model, v, qparams, images)
+            return Q.quant_extract_features(model, _vars(params, batch_stats),
+                                            qparams, images)
+
+        @jax.jit
+        def trunk(params, batch_stats, per_frame, word_ids):
+            return model.apply(_vars(params, batch_stats), per_frame,
+                               word_ids, method=DCNet.eval_features)
     else:
         @jax.jit
         def extract(params, batch_stats, images):
@@ -293,10 +323,10 @@ def _stream_eval(args, ds, cfg, model, state):
                 {"params": params, "batch_stats": batch_stats},
                 images, method=DCNet.extract_features)
 
-    @jax.jit
-    def trunk(params, batch_stats, per_frame, word_ids):
-        return model.apply({"params": params, "batch_stats": batch_stats},
-                           per_frame, word_ids, method=DCNet.eval_features)
+        @jax.jit
+        def trunk(params, batch_stats, per_frame, word_ids):
+            return model.apply({"params": params, "batch_stats": batch_stats},
+                               per_frame, word_ids, method=DCNet.eval_features)
 
     by_video = {}
     for row in ds.chunks:

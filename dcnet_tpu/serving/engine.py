@@ -59,27 +59,64 @@ class GroundingEngine:
         self.fuse_window = fuse_window
         self.mesh = mesh
         self.qparams = None
+        self.trunk_qcol = None   # trunk PTQ scales (baked as constants)
+        self._qmodel = None      # cfg.trunk_quant="int8" model variant
         self._step = jax.jit(self._step_impl)
         self._encode_lang = jax.jit(
             lambda v, ids: self.model.apply(v, ids,
                                             method=DCNet.encode_language))
 
-    def quantize(self, calib_frames) -> "GroundingEngine":
+    def quantize(self, calib_frames, calib_word_ids=None,
+                 trunk: bool = True) -> "GroundingEngine":
         """Switch the per-frame backbone to the int8 path (ops/quant.py):
         calibrates activation scales on `calib_frames` (M, H, W, 3) — use
-        representative stream frames — and re-jits the step. The trunk,
-        fusion, and language paths stay float."""
+        representative stream frames — and re-jits the step. With
+        trunk=True (default) the trunk convs (mapping_visu/corr_conv/fcn)
+        also run static-PTQ int8 via cfg.trunk_quant; pass representative
+        `calib_word_ids` (B, L) so the fcn stacks calibrate on realistic
+        language tiles (phrases are l2-normalized, so dummy ids still give
+        bounded scales). Fusion, attention, and language paths stay float.
+        Call AFTER cast_params_for_serving (the documented artifact flow)."""
         from dcnet_tpu.ops import quant as Q
         self.qparams = Q.quantize_model_backbone(
             self.model, self.variables, jnp.asarray(calib_frames))
+        if trunk:
+            n_frame = self.n_frame
+            frames = jnp.asarray(calib_frames)[:n_frame]
+            if calib_word_ids is None:
+                calib_word_ids = jnp.ones((1, self.cfg.query_len), jnp.int32)
+            wid = jnp.asarray(calib_word_ids)[:1]
+
+            def calib_path(mdl):
+                # one pass covering BOTH step halves: extract (mapping_visu)
+                # and the eval trunk (corr_conv/fcn)
+                feats = mdl.extract_features(frames)
+                per_frame = [f.reshape(1, n_frame, *f.shape[1:])
+                             for f in feats]
+                return mdl.eval_features(per_frame, wid)
+
+            self.trunk_qcol = Q.calibrate_trunk(
+                self.model, self.variables,
+                lambda m, v: m.apply(v, method=calib_path,
+                                     mutable=["quant"]))
+            self._qmodel = Q.trunk_quant_variant(self.model, "int8")
         self._step = jax.jit(self._step_impl)
         return self
+
+    def _trunk_model_vars(self, variables):
+        """(model, variables) for the quantized-trunk paths: the calibrated
+        scales ride as closure constants (like the backbone qparams), so
+        `variables` keeps its original pytree structure — the exported
+        bundle's contract (serving/export.py)."""
+        if self.trunk_qcol is None:
+            return self.model, variables
+        return self._qmodel, {**variables, "quant": self.trunk_qcol}
 
     def _extract(self, variables, frames):
         if self.qparams is not None:
             from dcnet_tpu.ops import quant as Q
-            return Q.quant_extract_features(
-                self.model, variables, self.qparams, frames)
+            model, v = self._trunk_model_vars(variables)
+            return Q.quant_extract_features(model, v, self.qparams, frames)
         return self.model.apply(variables, frames,
                                 method=DCNet.extract_features)
 
@@ -158,9 +195,10 @@ class GroundingEngine:
             for ring, f in zip(state.feat_rings, new_feats))
 
         # 3. center-frame grounding from cached visual + language features
-        out = model.apply(variables, rings, state.word_ids,
-                          language=state.language,
-                          method=DCNet.eval_features)
+        tmodel, tvars = self._trunk_model_vars(variables)
+        out = tmodel.apply(tvars, rings, state.word_ids,
+                           language=state.language,
+                           method=DCNet.eval_features)
         dec = decode_best(out.outbox, cfg)
         raw_box = dec.boxes[:, 0]
         raw_score = dec.score[:, 0]

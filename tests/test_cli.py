@@ -93,6 +93,11 @@ def test_quant_eval_close_to_fp(monkeypatch):
     assert miou_fp > 0.05  # trained weights ground something
     assert abs(miou_q - miou_fp) < 0.03, (miou_fp, miou_q)
     assert abs(acc_q - acc_fp) < 0.11, (acc_fp, acc_q)
+    # trunk PTQ on top of the int8 backbone: accuracy still within noise
+    acc_t, miou_t = _metrics_line(
+        _run_main(tmod, base + ["--quant", "--quant_trunk"]))
+    assert abs(miou_t - miou_fp) < 0.03, (miou_fp, miou_t)
+    assert abs(acc_t - acc_fp) < 0.11, (acc_fp, acc_t)
 
 
 def test_quant_eval_cli_smoke(tmp_path, monkeypatch):
