@@ -79,6 +79,10 @@ def main():
                          "--no_quant_trunk for the backbone-only-int8 A/B")
     ap.add_argument("--no_quant_trunk", dest="quant_trunk",
                     action="store_false")
+    ap.add_argument("--no_int8_chain", action="store_true",
+                    help="A/B: store ALL inter-conv int8-backbone "
+                         "activations in the compute dtype instead of "
+                         "int8 on sole-consumer chains")
     ap.add_argument("--quant", dest="quant", action="store_true",
                     default=None,
                     help="int8 post-training-quantized backbone (static "
@@ -277,7 +281,8 @@ def main():
             def step(variables, images, word_ids, carry):
                 raw = Q.backbone_apply_int8(defs, qparams,
                                             images + carry * 0.0,
-                                            act_dtype=dtype)
+                                            act_dtype=dtype,
+                                            int8_chain=not args.no_int8_chain)
                 feats = model.apply(variables, raw,
                                     method=DCNetCls.map_features)
                 return feats[0], sum(jnp.sum(f.astype(jnp.float32))
@@ -287,7 +292,8 @@ def main():
             def step(variables, images, word_ids, carry):
                 images = images + carry * 0.0
                 raw = Q.backbone_apply_int8(defs, qparams, images,
-                                            act_dtype=dtype)
+                                            act_dtype=dtype,
+                                            int8_chain=not args.no_int8_chain)
                 mapped = model.apply(variables, raw,
                                      method=DCNetCls.map_features)
                 per_frame = [f.reshape(b, n_frame, *f.shape[1:])
@@ -348,6 +354,7 @@ def main():
             "dtype": str(dtype.__name__),
             "quant_int8_backbone": bool(args.quant),
             "quant_int8_trunk": bool(args.quant and args.quant_trunk),
+            "int8_chain": bool(args.quant and not args.no_int8_chain),
             "device": str(jax.devices()[0].platform),
         },
     }))

@@ -26,7 +26,7 @@ flax module and bounds the int8 feature error.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Sequence, Tuple
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -161,7 +161,45 @@ def quantize_backbone(layer_defs: Sequence[LayerDef], params: Dict,
     return q
 
 
-def int8_conv_fn(qparams: Dict, act_dtype: Any = jnp.float32
+def sole_conv_consumer(layer_defs: Sequence[LayerDef]) -> Dict[int, int]:
+    """{producer conv i -> consumer conv j} for convs whose output feeds
+    EXACTLY ONE other conv. Those activations can be stored in HBM already
+    quantized with the consumer's input scale (requantize fused into the
+    producer's epilogue) — int8 instead of bf16 halves the traffic of the
+    bandwidth-bound residual chains (the 1x1 -> 3x3 halves of every
+    darknet-53 block qualify; shortcut/route/capture traffic does not).
+
+    Consumer rules mirror `traverse`: layer m+1 reads layer m implicitly
+    (except route, which reads only its listed layers); route reads
+    `layers`; shortcut reads m-1 AND `from_`; a yoloconvolutional's input
+    is ALSO captured as a feature map (extra consumer)."""
+    n = len(layer_defs)
+    consumers: Dict[int, List] = {i: [] for i in range(-1, n)}
+    for m, ld in enumerate(layer_defs):
+        if ld.type == "route":
+            for s in ld.layers:
+                consumers[s if s >= 0 else m + s].append(("any", m))
+        else:
+            kind = ("conv" if ld.type in ("convolutional",
+                                          "yoloconvolutional") else "any")
+            consumers[m - 1].append((kind, m))
+            if ld.type == "yoloconvolutional":
+                consumers[m - 1].append(("capture", m))
+            if ld.type == "shortcut":
+                f = ld.from_ if ld.from_ >= 0 else m + ld.from_
+                consumers[f].append(("any", m))
+    out: Dict[int, int] = {}
+    for i, ld in enumerate(layer_defs):
+        if ld.type not in ("convolutional", "yoloconvolutional"):
+            continue
+        cons = consumers[i]
+        if len(cons) == 1 and cons[0][0] == "conv":
+            out[i] = cons[0][1]
+    return out
+
+
+def int8_conv_fn(qparams: Dict, act_dtype: Any = jnp.float32,
+                 out_quant: Optional[Dict[int, int]] = None
                  ) -> Callable[[int, LayerDef, jnp.ndarray], jnp.ndarray]:
     """Int8 executor: static-scale quantize (fuses into the previous
     epilogue) + s8 conv (MXU int path) + scale/bias/leaky epilogue.
@@ -169,11 +207,20 @@ def int8_conv_fn(qparams: Dict, act_dtype: Any = jnp.float32
     act_dtype: dtype of the float activations BETWEEN quantized convs
     (the route/shortcut traffic). bfloat16 halves the HBM traffic of the
     bandwidth-bound high-resolution early stages; the epilogue arithmetic
-    (scale/bias in fp32) is unaffected."""
+    (scale/bias in fp32) is unaffected.
+
+    out_quant: `sole_conv_consumer` map — producers listed there emit
+    int8 directly (requantized to the consumer's scale in the epilogue),
+    skipping the bf16 round-trip through HBM entirely."""
+    out_quant = out_quant or {}
+
     def fn(i: int, ld: LayerDef, x: jnp.ndarray) -> jnp.ndarray:
         qp = qparams[str(i)]
-        xq = jnp.clip(jnp.round(x.astype(jnp.float32) * qp["inv_in"]),
-                      -127, 127).astype(jnp.int8)
+        if x.dtype == jnp.int8:
+            xq = x  # producer already stored it at OUR input scale
+        else:
+            xq = jnp.clip(jnp.round(x.astype(jnp.float32) * qp["inv_in"]),
+                          -127, 127).astype(jnp.int8)
         y = lax.conv_general_dilated(
             xq, qp["w"], (ld.stride, ld.stride),
             [(ld.pad, ld.pad), (ld.pad, ld.pad)], dimension_numbers=_DN,
@@ -181,6 +228,11 @@ def int8_conv_fn(qparams: Dict, act_dtype: Any = jnp.float32
         y = y.astype(jnp.float32) * qp["scale"] + qp["bias"]
         if ld.activation == "leaky":
             y = jax.nn.leaky_relu(y, 0.1)
+        j = out_quant.get(i)
+        if j is not None:
+            return jnp.clip(
+                jnp.round(y * qparams[str(j)]["inv_in"]),
+                -127, 127).astype(jnp.int8)
         return y.astype(act_dtype)
     return fn
 
@@ -192,10 +244,16 @@ def backbone_apply_fp(layer_defs: Sequence[LayerDef], params: Dict,
 
 
 def backbone_apply_int8(layer_defs: Sequence[LayerDef], qparams: Dict,
-                        images: jnp.ndarray, act_dtype: Any = jnp.float32
-                        ) -> List[jnp.ndarray]:
-    """Quantized traversal: the 3 captured feature maps (act_dtype out)."""
-    return traverse(layer_defs, images, int8_conv_fn(qparams, act_dtype))
+                        images: jnp.ndarray, act_dtype: Any = jnp.float32,
+                        int8_chain: bool = True) -> List[jnp.ndarray]:
+    """Quantized traversal: the 3 captured feature maps (act_dtype out).
+
+    int8_chain stores sole-consumer conv activations as int8 in HBM
+    (see sole_conv_consumer); False keeps every inter-conv activation in
+    act_dtype (the round-2 behavior, kept for A/B)."""
+    oq = sole_conv_consumer(layer_defs) if int8_chain else None
+    return traverse(layer_defs, images,
+                    int8_conv_fn(qparams, act_dtype, out_quant=oq))
 
 
 # --------------------------------------------------------------------------
@@ -224,14 +282,16 @@ def quantize_model_backbone(model, variables, calib_images,
 
 
 def quant_extract_features(model, variables, qparams,
-                           images: jnp.ndarray) -> List[jnp.ndarray]:
+                           images: jnp.ndarray,
+                           int8_chain: bool = True) -> List[jnp.ndarray]:
     """Drop-in for DCNet.extract_features with the int8 backbone: quantized
     conv stack + float mapping_visu/l2-norm (jit the caller). Inter-conv
-    activations ride in the model's compute dtype (bf16 in production)."""
+    activations ride in the model's compute dtype (bf16 in production),
+    or already-quantized int8 on sole-consumer chains (int8_chain)."""
     from dcnet_tpu.models.dcnet import DCNet
     act_dtype = getattr(model, "dtype", jnp.float32)
     raw = backbone_apply_int8(model_layer_defs(model), qparams, images,
-                              act_dtype=act_dtype)
+                              act_dtype=act_dtype, int8_chain=int8_chain)
     return model.apply(variables, raw, method=DCNet.map_features)
 
 

@@ -225,3 +225,44 @@ def test_trunk_scales_roundtrip(tmp_path):
     assert set(a) == set(b)
     for k in a:
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
+def test_sole_conv_consumer_full_graph():
+    """Chain analysis on the full 107-layer graph: producers map only to
+    conv consumers downstream; the residual-block 1x1->3x3 halves qualify
+    but capture/route/shortcut-feeding convs must not."""
+    defs = yolov3_layer_defs()
+    chain = quant.sole_conv_consumer(defs)
+    conv_ids = set(quant.conv_layer_ids(defs))
+    for i, j in chain.items():
+        assert i in conv_ids and j in conv_ids
+        assert j > i
+    assert len(chain) >= 20, len(chain)  # darknet-53 has 23 residual blocks
+    # a conv whose output is captured as a feature map must stay float:
+    # producers of yoloconvolutional inputs are never in the chain
+    for j, ld in enumerate(defs):
+        if ld.type == "yoloconvolutional":
+            assert (j - 1) not in chain
+
+
+def test_int8_chain_close_to_unchained():
+    """Storing sole-consumer activations as int8 (skipping the float
+    round-trip) stays close to the unchained int8 traversal and to fp."""
+    defs = mini_backbone_defs()
+    _, variables, x = _init_backbone(defs, 64, batch=4)
+    cal = quant.merge_calibration([quant.calibrate(
+        defs, variables["params"], variables["batch_stats"], x)])
+    qp = quant.quantize_backbone(defs, variables["params"],
+                                 variables["batch_stats"], cal)
+    fp = quant.backbone_apply_fp(defs, variables["params"],
+                                 variables["batch_stats"], x)
+    plain = quant.backbone_apply_int8(defs, qp, x, int8_chain=False)
+    chain = quant.backbone_apply_int8(defs, qp, x, int8_chain=True)
+    for f, p, c in zip(fp, plain, chain):
+        f = np.asarray(f, np.float64)
+        p = np.asarray(p, np.float64)
+        c = np.asarray(c, np.float64)
+        cos_fp = (f * c).sum() / (np.linalg.norm(f) * np.linalg.norm(c) + 1e-12)
+        rel_pc = np.linalg.norm(p - c) / (np.linalg.norm(p) + 1e-12)
+        assert cos_fp > 0.995, cos_fp
+        assert rel_pc < 0.05, rel_pc  # chain ~= plain (one fewer rounding)
