@@ -165,3 +165,21 @@ def test_data_parallel_eval_matches_single_device(tmp_path, monkeypatch):
     acc_dp, miou_dp = _metrics_line(_run_main(tmod, base + ["--data_parallel"]))
     assert acc_dp == acc_1
     assert abs(miou_dp - miou_1) < 1e-6
+
+
+def test_serve_cli_smoke(tmp_path, monkeypatch):
+    """Streaming serving CLI end to end on synthetic streams: engine init,
+    ticks, state checkpoint + resume (preemption-safe serving)."""
+    import dcnet_tpu.cli.serve as smod
+
+    monkeypatch.chdir(tmp_path)
+    state_file = str(tmp_path / "streams.npz")
+    base = ["--synthetic", "--lstm", "--mini", "--size", "64",
+            "--n_streams", "2", "--ticks", "4", "--print_every", "2",
+            "--state_file", state_file]
+    out = _run_main(smod, base)
+    assert "served 8 predictions over 2 streams" in out
+    assert os.path.exists(state_file)
+    out2 = _run_main(smod, base + ["--ticks", "2"])
+    assert "resumed stream state" in out2
+    assert "frames_seen=[4, 4]" in out2
