@@ -165,6 +165,64 @@ def main():
         state = create_train_state(model, cfg, jax.random.PRNGKey(0),
                                    steps_per_epoch=1000, sample_batch=batch)
 
+        if args.backbone:
+            # train-step breakdown: backbone+mapping fwd+bwd ONLY (L2
+            # pseudo-loss over the mapped features; no trunk, no losses,
+            # no optimizer). full-step minus this = trunk/losses/optimizer
+            # share — the profile data behind the MFU story.
+            from dcnet_tpu.models.dcnet import DCNet as _D
+
+            def bb_loss(params, batch_stats, images, carry):
+                feats = model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    images + carry * 0.0, method=_D.extract_features)
+                return sum(jnp.sum(jnp.square(f.astype(jnp.float32)))
+                           for f in feats)
+
+            bb_grad = jax.jit(jax.grad(bb_loss))
+            flops = None
+            try:
+                compiled = bb_grad.lower(
+                    state.params, state.batch_stats, batch["images"],
+                    jnp.float32(0)).compile()
+                ca = compiled.cost_analysis()
+                ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+                flops = float(ca.get("flops", 0.0)) or None
+            except Exception:
+                pass
+
+            def run_bb(n):
+                carry = jnp.float32(0)
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    g = bb_grad(state.params, state.batch_stats,
+                                batch["images"], carry)
+                    carry = jax.tree_util.tree_leaves(g)[0].ravel()[0]
+                np.asarray(carry)
+                return time.perf_counter() - t0
+
+            run_bb(1)
+            n_short = max(iters // 4, 1)
+            t_short = run_bb(n_short)
+            t_long = run_bb(iters)
+            dt = max((t_long - t_short) / (iters - n_short), 1e-9)
+            print(json.dumps({
+                "metric": "train_backbone_fwdbwd_frames_per_sec_per_chip",
+                "value": round(n_imgs / dt, 2),
+                "unit": "frames/s",
+                "vs_baseline": 0.0,
+                "extra": {"clip_batch": clips, "n_frame": args.frames,
+                          "step_ms": round(dt * 1e3, 2),
+                          "step_tflops": round(flops / 1e12, 3)
+                          if flops else None,
+                          "mfu_pct_v5e": round(
+                              flops / dt / 197e12 * 100, 1)
+                          if flops else None,
+                          "image_size": size,
+                          "dtype": str(dtype.__name__)},
+            }))
+            return
+
         # XLA cost analysis of the whole compiled step -> honest MFU
         flops = None
         try:
