@@ -183,3 +183,33 @@ def test_serve_cli_smoke(tmp_path, monkeypatch):
     out2 = _run_main(smod, base + ["--ticks", "2"])
     assert "resumed stream state" in out2
     assert "frames_seen=[4, 4]" in out2
+
+
+@pytest.mark.skipif(not os.path.exists("data/synthetic32"),
+                    reason="synthetic corpus absent — nothing to compare")
+def test_make_converge32_regenerates_dataset(tmp_path, monkeypatch):
+    """tools/make_converge32.py reproduces data/synthetic32 exactly (seed
+    13): the accuracy-lock corpus is deterministically regenerable."""
+    import hashlib
+    import json
+    import sys
+    repo = os.getcwd()
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    try:
+        import make_converge32 as mk
+    finally:
+        sys.path.pop(0)
+    monkeypatch.chdir(tmp_path)
+    mk.make_dataset()
+    for split in ("train", "test"):
+        new = json.load(open(tmp_path / mk.DATA_ROOT
+                             / f"VID_video_level_{split}.json"))
+        ref = json.load(open(os.path.join(
+            repo, "data/synthetic32", f"VID_video_level_{split}.json")))
+        assert new == ref, split
+    h = lambda p: hashlib.md5(open(p, "rb").read()).hexdigest()  # noqa: E731
+    frames = sorted(os.listdir(os.path.join(repo, "data/synthetic32/frames")))
+    assert frames == sorted(os.listdir(tmp_path / mk.DATA_ROOT / "frames"))
+    for f in frames[::16]:  # spot-check byte identity
+        assert h(os.path.join(repo, "data/synthetic32/frames", f)) == \
+            h(str(tmp_path / mk.DATA_ROOT / "frames" / f)), f
