@@ -32,8 +32,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes + mini backbone (CPU-friendly)")
-    ap.add_argument("--clips", type=int, default=16,
-                    help="clip batch per step (5 frames each)")
+    ap.add_argument("--clips", type=int, default=None,
+                    help="clip batch per step (5 frames each). Default: 32 "
+                         "for the eval headline (post-BN-fix sweet spot), "
+                         "16 elsewhere")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--fp32", action="store_true",
                     help="disable bfloat16 compute")
@@ -79,10 +81,15 @@ def main():
                          "--no_quant_trunk for the backbone-only-int8 A/B")
     ap.add_argument("--no_quant_trunk", dest="quant_trunk",
                     action="store_false")
-    ap.add_argument("--no_int8_chain", action="store_true",
-                    help="A/B: store ALL inter-conv int8-backbone "
-                         "activations in the compute dtype instead of "
-                         "int8 on sole-consumer chains")
+    ap.add_argument("--int8_chain", dest="int8_chain", action="store_true",
+                    default=None,
+                    help="store sole-consumer int8-backbone activations "
+                         "as int8 in HBM. Default: ON for the offline "
+                         "eval headline (+1-2%% there), OFF for "
+                         "--backbone/--serving (-9%%/-20%% there — "
+                         "path-dependent, BENCH_NOTES round 3)")
+    ap.add_argument("--no_int8_chain", dest="int8_chain",
+                    action="store_false")
     ap.add_argument("--quant", dest="quant", action="store_true",
                     default=None,
                     help="int8 post-training-quantized backbone (static "
@@ -93,6 +100,12 @@ def main():
                          "bf16-backbone A/B")
     ap.add_argument("--no_quant", dest="quant", action="store_false")
     args = ap.parse_args()
+    if args.clips is None:
+        args.clips = 32 if not (args.train or args.serving or args.backbone
+                                or args.bert or args.single or args.host
+                                or args.video_mirror) else 16
+    if args.int8_chain is None:
+        args.int8_chain = not (args.backbone or args.serving)
     if args.quant is None:
         # default: int8 for the eval headline (the production serving
         # config); other modes opt in explicitly
@@ -278,8 +291,7 @@ def main():
                                  n_frame=n_frame, topk=5, fuse_window=5)
         if args.quant:
             engine.quantize(frames[:16], calib_word_ids=sids[:1],
-                            trunk=(True if args.quant_trunk is None
-                                   else args.quant_trunk))
+                            trunk=bool(args.quant_trunk))
         state = engine.init_state(sids)
         state, fused, _, _ = engine.step(state, frames)  # compile
         np.asarray(fused)
@@ -306,9 +318,8 @@ def main():
             "extra": {"n_streams": n_streams, "p50_per_frame_ms":
                       round(dt_step / n_streams * 1000, 3),
                       "quant_int8_backbone": bool(args.quant),
-                      "quant_int8_trunk": bool(
-                          args.quant and (True if args.quant_trunk is None
-                                          else args.quant_trunk)),
+                      "quant_int8_trunk": bool(args.quant
+                                               and args.quant_trunk),
                       "image_size": size, "dtype": str(dtype.__name__)},
         }))
         return
@@ -340,7 +351,7 @@ def main():
                 raw = Q.backbone_apply_int8(defs, qparams,
                                             images + carry * 0.0,
                                             act_dtype=dtype,
-                                            int8_chain=not args.no_int8_chain)
+                                            int8_chain=args.int8_chain)
                 feats = model.apply(variables, raw,
                                     method=DCNetCls.map_features)
                 return feats[0], sum(jnp.sum(f.astype(jnp.float32))
@@ -351,7 +362,7 @@ def main():
                 images = images + carry * 0.0
                 raw = Q.backbone_apply_int8(defs, qparams, images,
                                             act_dtype=dtype,
-                                            int8_chain=not args.no_int8_chain)
+                                            int8_chain=args.int8_chain)
                 mapped = model.apply(variables, raw,
                                      method=DCNetCls.map_features)
                 per_frame = [f.reshape(b, n_frame, *f.shape[1:])
@@ -412,7 +423,7 @@ def main():
             "dtype": str(dtype.__name__),
             "quant_int8_backbone": bool(args.quant),
             "quant_int8_trunk": bool(args.quant and args.quant_trunk),
-            "int8_chain": bool(args.quant and not args.no_int8_chain),
+            "int8_chain": bool(args.quant and args.int8_chain),
             "device": str(jax.devices()[0].platform),
         },
     }))

@@ -245,12 +245,15 @@ def backbone_apply_fp(layer_defs: Sequence[LayerDef], params: Dict,
 
 def backbone_apply_int8(layer_defs: Sequence[LayerDef], qparams: Dict,
                         images: jnp.ndarray, act_dtype: Any = jnp.float32,
-                        int8_chain: bool = True) -> List[jnp.ndarray]:
+                        int8_chain: bool = False) -> List[jnp.ndarray]:
     """Quantized traversal: the 3 captured feature maps (act_dtype out).
 
     int8_chain stores sole-consumer conv activations as int8 in HBM
-    (see sole_conv_consumer); False keeps every inter-conv activation in
-    act_dtype (the round-2 behavior, kept for A/B)."""
+    (see sole_conv_consumer); the v5e A/B is PATH-DEPENDENT (round 3):
+    +1-2% on the batched offline eval step (5,809 f/s best point, where
+    the trunk competes for HBM), but -9% backbone-only and -20%+ on the
+    serving step — so it defaults OFF and the offline eval bench opts in
+    explicitly."""
     oq = sole_conv_consumer(layer_defs) if int8_chain else None
     return traverse(layer_defs, images,
                     int8_conv_fn(qparams, act_dtype, out_quant=oq))
@@ -283,7 +286,7 @@ def quantize_model_backbone(model, variables, calib_images,
 
 def quant_extract_features(model, variables, qparams,
                            images: jnp.ndarray,
-                           int8_chain: bool = True) -> List[jnp.ndarray]:
+                           int8_chain: bool = False) -> List[jnp.ndarray]:
     """Drop-in for DCNet.extract_features with the int8 backbone: quantized
     conv stack + float mapping_visu/l2-norm (jit the caller). Inter-conv
     activations ride in the model's compute dtype (bf16 in production),

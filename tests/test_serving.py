@@ -157,7 +157,8 @@ def test_quantized_engine_close_to_float(setup):
                          n_frame=n_frame, topk=3, fuse_window=3)
     q8 = GroundingEngine(model, variables, CFG, n_streams=2,
                          n_frame=n_frame, topk=3, fuse_window=3)
-    q8.quantize(frames.reshape(-1, 64, 64, 3))
+    q8.quantize(frames.reshape(-1, 64, 64, 3),
+                calib_word_ids=word_ids, trunk=True)
     raw_fp, score_fp = run(fp)
     raw_q8, score_q8 = run(q8)
     from dcnet_tpu.ops.boxes import bbox_iou
