@@ -58,6 +58,11 @@ class GroundingEngine:
         self.topk = topk
         self.fuse_window = fuse_window
         self.mesh = mesh
+        # Ring/cache storage dtype follows the model compute dtype: the
+        # trunk reads the rings in that dtype anyway, and at bf16 the
+        # full-ring shift + trunk reads halve their HBM traffic (the rings
+        # are by far the largest serving state, ~N*n_frame*Σg²*C).
+        self.state_dtype = model.dtype
         self.qparams = None
         self.trunk_qcol = None   # trunk PTQ scales (baked as constants)
         self._qmodel = None      # cfg.trunk_quant="int8" model variant
@@ -133,7 +138,8 @@ class GroundingEngine:
         n = self.n_streams
         word_ids = jnp.asarray(word_ids)
         rings = tuple(
-            jnp.zeros((n, self.n_frame, g, g, cfg.emb_size), jnp.float32)
+            jnp.zeros((n, self.n_frame, g, g, cfg.emb_size),
+                      self.state_dtype)
             for g in cfg.grids)
         language = self._encode_lang(self.variables, word_ids)
         return StreamState(
@@ -141,7 +147,7 @@ class GroundingEngine:
             cache_boxes=jnp.zeros((n, self.fuse_window, self.topk, 4)),
             cache_scores=jnp.zeros((n, self.fuse_window, self.topk)),
             cache_feats=jnp.zeros((n, self.fuse_window, self.topk,
-                                   cfg.emb_size)),
+                                   cfg.emb_size), self.state_dtype),
             frames_seen=jnp.zeros((n,), jnp.int32),
             word_ids=word_ids,
             language=tuple(language),
@@ -195,7 +201,8 @@ class GroundingEngine:
         new_feats = self._extract(variables, frames)
         # 2. shift the rings, append the new frame at the end
         rings = tuple(
-            jnp.concatenate([ring[:, 1:], f[:, None]], axis=1)
+            jnp.concatenate([ring[:, 1:],
+                             f[:, None].astype(ring.dtype)], axis=1)
             for ring, f in zip(state.feat_rings, new_feats))
 
         # 3. center-frame grounding from cached visual + language features
@@ -215,14 +222,18 @@ class GroundingEngine:
         cache_scores = jnp.concatenate(
             [state.cache_scores[:, 1:], cache_now.scores[:, None]], axis=1)
         cache_feats = jnp.concatenate(
-            [state.cache_feats[:, 1:], cache_now.feats[:, None]], axis=1)
+            [state.cache_feats[:, 1:],
+             cache_now.feats[:, None].astype(state.cache_feats.dtype)],
+            axis=1)
 
         # 5. temporal fusion over the cache window for each stream:
         #    center entry = fuse_window//2 (post_processing.py:222-276).
         #    vmapped single-center variant of eval.temporal.temporal_fuse.
         def fuse_one(boxes, scores, feats, seen):
             c = self.fuse_window // 2
-            sim = jnp.einsum("ic,rjc->irj", feats[c], feats)   # (K, R, K)
+            # fusion math stays fp32 even when feats are stored bf16
+            sim = jnp.einsum("ic,rjc->irj", feats[c], feats,
+                             preferred_element_type=jnp.float32)  # (K, R, K)
             sim_max = jnp.max(sim, axis=2)
             best_j = jnp.argmax(sim, axis=2)                   # (K, R)
             picked = jnp.take_along_axis(
@@ -284,29 +295,53 @@ def save_stream_state(path: str, state: StreamState) -> None:
     engine restart or migrate between hosts (the serving analog of
     --auto_resume; the reference has no serving layer to preempt)."""
     import os
+
+    def storable(x):
+        # .npy can't serialize bfloat16 — store as float32 (lossless
+        # upcast) and record the dtype for the load side to cast back.
+        a = np.asarray(x)
+        if a.dtype.name not in ("float64", "float32", "float16", "int64",
+                                "int32", "uint8", "bool"):
+            return a.astype(np.float32)
+        return a
+
     flat = {}
     for i, r in enumerate(state.feat_rings):
-        flat[f"feat_rings/{i}"] = np.asarray(r)
+        flat[f"feat_rings/{i}"] = storable(r)
+        flat[f"feat_rings_dtype/{i}"] = np.str_(np.asarray(r).dtype.name)
     for i, l in enumerate(state.language):
-        flat[f"language/{i}"] = np.asarray(l)
+        flat[f"language/{i}"] = storable(l)
+        flat[f"language_dtype/{i}"] = np.str_(np.asarray(l).dtype.name)
     for k in ("cache_boxes", "cache_scores", "cache_feats", "frames_seen",
               "word_ids"):
-        flat[k] = np.asarray(getattr(state, k))
+        flat[k] = storable(getattr(state, k))
+    flat["cache_feats_dtype"] = np.str_(
+        np.asarray(state.cache_feats).dtype.name)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.savez(path, **flat)
 
 
 def load_stream_state(path: str) -> StreamState:
     data = np.load(path)
+
+    def restore(key, arr):
+        dkey = key.replace("/", "_dtype/", 1) if "/" in key \
+            else key + "_dtype"
+        x = jnp.asarray(arr)
+        if dkey in data.files:
+            x = x.astype(jnp.dtype(str(data[dkey])))
+        return x
+
     def seq(prefix):
         keys = sorted((k for k in data.files if k.startswith(prefix + "/")),
                       key=lambda k: int(k.split("/")[1]))
-        return tuple(jnp.asarray(data[k]) for k in keys)
+        return tuple(restore(k, data[k]) for k in keys)
+
     return StreamState(
         feat_rings=seq("feat_rings"),
         cache_boxes=jnp.asarray(data["cache_boxes"]),
         cache_scores=jnp.asarray(data["cache_scores"]),
-        cache_feats=jnp.asarray(data["cache_feats"]),
+        cache_feats=restore("cache_feats", data["cache_feats"]),
         frames_seen=jnp.asarray(data["frames_seen"]),
         word_ids=jnp.asarray(data["word_ids"]),
         language=seq("language"),

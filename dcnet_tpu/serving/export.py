@@ -47,14 +47,15 @@ def _state_specs(engine: GroundingEngine, language) -> StreamState:
     cfg = engine.cfg
     n = engine.n_streams
     sd = jax.ShapeDtypeStruct
+    st = jnp.dtype(engine.state_dtype)
     return StreamState(
         feat_rings=tuple(
-            sd((n, engine.n_frame, g, g, cfg.emb_size), jnp.float32)
+            sd((n, engine.n_frame, g, g, cfg.emb_size), st)
             for g in cfg.grids),
         cache_boxes=sd((n, engine.fuse_window, engine.topk, 4), jnp.float32),
         cache_scores=sd((n, engine.fuse_window, engine.topk), jnp.float32),
         cache_feats=sd((n, engine.fuse_window, engine.topk, cfg.emb_size),
-                       jnp.float32),
+                       st),
         frames_seen=sd((n,), jnp.int32),
         word_ids=sd((n, cfg.query_len), jnp.int32),
         language=tuple(sd(x.shape, x.dtype) for x in language),
@@ -96,6 +97,7 @@ def export_engine(engine: GroundingEngine, out_dir: str,
             "grids": list(cfg.grids), "emb_size": cfg.emb_size,
             "query_len": cfg.query_len, "image_size": cfg.image_size,
             "quantized": engine.qparams is not None,
+            "state_dtype": jnp.dtype(engine.state_dtype).name,
             "platforms": list(step_exp.platforms),
         }, f, indent=2)
 
@@ -123,15 +125,16 @@ class ServingRuntime:
     def init_state(self, word_ids) -> StreamState:
         m = self.meta
         n = m["n_streams"]
+        st = jnp.dtype(m.get("state_dtype", "float32"))
         word_ids = jnp.asarray(word_ids, jnp.int32)
         return StreamState(
             feat_rings=tuple(
                 jnp.zeros((n, m["n_frame"], g, g, m["emb_size"]),
-                          jnp.float32) for g in m["grids"]),
+                          st) for g in m["grids"]),
             cache_boxes=jnp.zeros((n, m["fuse_window"], m["topk"], 4)),
             cache_scores=jnp.zeros((n, m["fuse_window"], m["topk"])),
             cache_feats=jnp.zeros((n, m["fuse_window"], m["topk"],
-                                   m["emb_size"])),
+                                   m["emb_size"]), st),
             frames_seen=jnp.zeros((n,), jnp.int32),
             word_ids=word_ids,
             language=self.encode_language(word_ids),

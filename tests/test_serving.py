@@ -203,6 +203,43 @@ def test_exported_runtime_matches_engine(setup, tmp_path):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_bf16_engine_state_and_roundtrip(setup, tmp_path):
+    """A bf16-compute engine stores its rings/cache feats in bf16 (the
+    serving deployment config — halves ring HBM traffic), tracks the fp32
+    engine's predictions, and its state survives the .npz round-trip
+    (npy can't serialize bf16; save/load casts through fp32)."""
+    from dcnet_tpu.serving.engine import load_stream_state, save_stream_state
+
+    _, variables = setup
+    model16 = DCNet(cfg=CFG, backbone_defs=mini_backbone_defs(),
+                    dtype=jnp.bfloat16)
+    rng = np.random.RandomState(11)
+    frames = rng.rand(5, 1, 64, 64, 3).astype(np.float32)
+    word_ids = rng.randint(1, 50, (1, 20)).astype(np.int32)
+
+    eng = GroundingEngine(model16, variables, CFG, n_streams=1,
+                          n_frame=5, topk=3, fuse_window=3)
+    state = eng.init_state(word_ids)
+    assert all(r.dtype == jnp.bfloat16 for r in state.feat_rings)
+    assert state.cache_feats.dtype == jnp.bfloat16
+    for t in range(5):
+        state, fused, raw, score = eng.step(state, frames[t])
+    assert all(r.dtype == jnp.bfloat16 for r in state.feat_rings)
+
+    path = str(tmp_path / "streams16.npz")
+    save_stream_state(path, state)
+    resumed = load_stream_state(path)
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(resumed)):
+        assert np.asarray(a).dtype == np.asarray(b).dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # (No cross-dtype box comparison here: on untrained weights the conf
+    # argmax flips at any rounding — the bf16-vs-fp accuracy claim is
+    # locked on the trained checkpoint in tests/test_cli.py instead.)
+    assert np.isfinite(np.asarray(fused)).all()
+    assert np.isfinite(np.asarray(raw)).all()
+
+
 def test_stream_state_roundtrip_resume(setup, tmp_path):
     """Mid-stream save/load: a resumed engine continues identically to an
     uninterrupted one (serving preemption safety)."""
