@@ -101,7 +101,7 @@ def main():
     ap.add_argument("--no_quant", dest="quant", action="store_false")
     args = ap.parse_args()
     if args.clips is None:
-        args.clips = 32 if not (args.train or args.serving or args.backbone
+        args.clips = 64 if not (args.train or args.serving or args.backbone
                                 or args.bert or args.single or args.host
                                 or args.video_mirror) else 16
     if args.int8_chain is None:
