@@ -167,6 +167,39 @@ def test_quantized_engine_close_to_float(setup):
     np.testing.assert_allclose(score_q8, score_fp, rtol=0.2, atol=0.05)
 
 
+def test_query_hot_swap_on_quantized_engine(setup):
+    """update_queries composes with the int8 step: after a swap the
+    quantized engine's unswapped stream continues exactly as without the
+    swap, and the swapped stream's fusion history resets."""
+    model, variables = setup
+    rng = np.random.RandomState(13)
+    frames = rng.rand(5, 2, 64, 64, 3).astype(np.float32)
+    ids_a = rng.randint(1, 50, (2, 20)).astype(np.int32)
+    ids_b = rng.randint(1, 50, (2, 20)).astype(np.int32)
+
+    engine = GroundingEngine(model, variables, CFG, n_streams=2,
+                             n_frame=5, topk=3, fuse_window=3)
+    engine.quantize(frames.reshape(-1, 64, 64, 3),
+                    calib_word_ids=ids_a, trunk=True)
+    state = engine.init_state(ids_a)
+    for t in range(5):
+        state, *_ = engine.step(state, frames[t])
+
+    state2 = engine.update_queries(state, ids_b,
+                                   mask=np.array([True, False]))
+    assert int(state2.frames_seen[0]) == 0
+    assert float(np.abs(np.asarray(state2.cache_scores[0])).max()) == 0.0
+
+    s_ref, _, raw_ref, _ = engine.step(state, frames[0])
+    s_new, _, raw_new, _ = engine.step(state2, frames[0])
+    np.testing.assert_allclose(np.asarray(raw_new[1]),
+                               np.asarray(raw_ref[1]),
+                               rtol=1e-4, atol=1e-4)
+    # the quantized path keeps running: finite outputs, ring advanced
+    assert np.isfinite(np.asarray(raw_new)).all()
+    assert int(s_new.frames_seen[0]) == 1
+
+
 def test_exported_runtime_matches_engine(setup, tmp_path):
     """jax.export bundle: the deserialized step/encoder programs reproduce
     the live engine bit-for-bit, including the int8 backbone constants."""
