@@ -290,6 +290,8 @@ def main():
         engine = GroundingEngine(model, variables, cfg, n_streams=n_streams,
                                  n_frame=n_frame, topk=5, fuse_window=5)
         if args.quant:
+            if args.quant_trunk is None:
+                args.quant_trunk = True  # matches engine.quantize default
             engine.quantize(frames[:16], calib_word_ids=sids[:1],
                             trunk=bool(args.quant_trunk))
         state = engine.init_state(sids)

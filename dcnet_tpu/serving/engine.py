@@ -72,20 +72,20 @@ class GroundingEngine:
                                             method=DCNet.encode_language))
 
     def quantize(self, calib_frames, calib_word_ids=None,
-                 trunk: bool = False) -> "GroundingEngine":
+                 trunk: bool = True) -> "GroundingEngine":
         """Switch the per-frame backbone to the int8 path (ops/quant.py):
         calibrates activation scales on `calib_frames` (M, H, W, 3) — use
         representative stream frames — and re-jits the step. With
-        trunk=True the trunk convs (mapping_visu/corr_conv/fcn) also run
-        static-PTQ int8 via cfg.trunk_quant; pass representative
+        trunk=True (default) the trunk convs (mapping_visu/corr_conv/fcn)
+        also run static-PTQ int8 via cfg.trunk_quant; pass representative
         `calib_word_ids` (B, L) so the fcn stacks calibrate on realistic
-        language tiles. trunk defaults OFF for serving: the v5e A/B
-        measured 2,154 (trunk off) vs 2,056 pred/s (on) at 80 streams —
-        the trunk dominates the serving step (backbone amortized to one
-        frame) and its dequant edges cost more than the int8 convs save
-        there, unlike offline eval where it is neutral-positive. Fusion,
-        attention, and language paths stay float. Call AFTER
-        cast_params_for_serving (the documented artifact flow)."""
+        language tiles. The trunk default matches offline eval: with bf16
+        feature rings the v5e A/B is 2,684 (trunk on) vs 2,659 pred/s
+        (off) at 80 streams — neutral-positive, and the int8 trunk
+        shrinks the AOT bundle. (Under the old fp32 rings it was -4.5%:
+        the quantize edges then ran from fp32.) Fusion, attention, and
+        language paths stay float. Call AFTER cast_params_for_serving
+        (the documented artifact flow)."""
         from dcnet_tpu.ops import quant as Q
         self.qparams = Q.quantize_model_backbone(
             self.model, self.variables, jnp.asarray(calib_frames))
