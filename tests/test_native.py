@@ -63,6 +63,32 @@ def test_decode_letterbox_jpeg_close(tmp_path):
     assert np.abs(out[0] - ref).max() <= tol
 
 
+def test_grayscale_inputs_match_python(tmp_path):
+    """Single-channel sources: VID frames are occasionally grayscale.
+    PNG goes through the same cv::imdecode as the Python path (bitwise);
+    grayscale JPEG replicates Y into RGB in both libjpeg and cv2 (within
+    the cross-build JPEG tolerance)."""
+    import cv2
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, 256, (240, 320), np.uint8)
+    p_png = str(tmp_path / "g.png")
+    p_jpg = str(tmp_path / "g.jpg")
+    cv2.imwrite(p_png, gray)
+    cv2.imwrite(p_jpg, gray)
+    out, _, _, _, ok = native.decode_letterbox_batch(
+        [p_png, p_jpg], 128, T.IMAGENET_MEAN, T.IMAGENET_STD)
+    assert ok.all()
+    tol = 2.0 / 255.0 / float(T.IMAGENET_STD.min())
+    for i, p in enumerate([p_png, p_jpg]):
+        raw = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+        boxed, *_ = T.letterbox(raw, 128)
+        ref = T.normalize_image(boxed)
+        if p.endswith(".png"):
+            np.testing.assert_array_equal(out[i], ref)
+        else:
+            assert np.abs(out[i] - ref).max() <= tol
+
+
 def test_failed_decode_flagged(tmp_path):
     paths = _write_images(tmp_path, [(100, 100)]) + ["/nonexistent/x.png"]
     out, _, _, _, ok = native.decode_letterbox_batch(

@@ -158,3 +158,35 @@ def test_build_frame_cache_features_match_peak_cells():
             np.testing.assert_allclose(
                 np.asarray(cache.feats[t, i]),
                 np.asarray(corr[s][t, gj, gi]), rtol=1e-6)
+
+
+def test_topk_exceeding_coarse_scale_slots_spans_scales():
+    """k larger than the two coarser scales' combined anchor slots must
+    spill into the finest scale, stay sorted, and keep every (scale, cell)
+    reference valid — the cross-scale top-k edge the reference's per-scale
+    loop never hits (test_DCNet.py:602 gathers from a flat concat too)."""
+    from dcnet_tpu.ops.decode import decode_topk
+    rng = np.random.RandomState(3)
+    T = 2
+    coarse_slots = 3 * sum(g * g for g in CFG.grids[:-1])
+    k = coarse_slots + 20
+    outbox = [jnp.asarray(rng.randn(T, 3, 5, g, g).astype(np.float32))
+              for g in CFG.grids]
+    corr = [jnp.asarray(rng.randn(T, g, g, 8).astype(np.float32))
+            for g in CFG.grids]
+    dec = decode_topk(outbox, k, CFG)
+    assert dec.boxes.shape == (T, k, 4)
+    # scores strictly non-increasing (flat top-k across all scales)
+    sc = np.asarray(dec.score)
+    assert (np.diff(sc, axis=1) <= 1e-6).all()
+    # at least one pick from the finest scale on every frame
+    assert (np.asarray(dec.scale) == len(CFG.grids) - 1).any(axis=1).all()
+    # cells stay in range per assigned scale
+    for t in range(T):
+        for i in range(k):
+            g = CFG.grids[int(dec.scale[t, i])]
+            assert 0 <= int(dec.gi[t, i]) < g
+            assert 0 <= int(dec.gj[t, i]) < g
+    cache = build_frame_cache(outbox, corr, k, CFG)
+    assert np.isfinite(np.asarray(cache.feats)).all()
+    assert cache.boxes.shape == (T, k, 4)
