@@ -33,14 +33,21 @@ def main():
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes + mini backbone (CPU-friendly)")
     ap.add_argument("--clips", type=int, default=None,
-                    help="clip batch per step (5 frames each). Default: 32 "
-                         "for the eval headline (post-BN-fix sweet spot), "
-                         "16 elsewhere")
+                    help="clip batch per step (5 frames each). Default: 64 "
+                         "for the eval headline (round-3 sweet spot; 128 = "
+                         "HBM OOM), 16 elsewhere")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--fp32", action="store_true",
                     help="disable bfloat16 compute")
     ap.add_argument("--serving", action="store_true",
                     help="benchmark the streaming multi-query engine instead")
+    ap.add_argument("--no_donate", action="store_true",
+                    help="A/B: serving step WITHOUT state-buffer donation "
+                         "(production default donates the ring state)")
+    ap.add_argument("--serving_breakdown", action="store_true",
+                    help="time the serving step's stages separately "
+                         "(extract / ring shift / trunk / cache+fusion) — "
+                         "the serving analog of the train-step breakdown")
     ap.add_argument("--train", action="store_true",
                     help="benchmark the training step instead")
     ap.add_argument("--frames", type=int, default=2,
@@ -53,6 +60,11 @@ def main():
                     help="BASELINE config 1: ReferIt-style single-image "
                          "grounding, batch 1 on CPU, vs a measured torch "
                          "mirror of the reference")
+    ap.add_argument("--train_mirror", action="store_true",
+                    help="BASELINE config 2 vs a MEASURED torch mirror: "
+                         "both run the full k=2 training step (fwd + 5-loss "
+                         "+ bwd + RMSprop, same weights) on this CPU — the "
+                         "train analog of --single/--video_mirror")
     ap.add_argument("--video_mirror", action="store_true",
                     help="flagship video-eval config vs a MEASURED torch "
                          "mirror baseline: both run the 5-frame eval_clip "
@@ -61,6 +73,11 @@ def main():
     ap.add_argument("--bert", action="store_true",
                     help="BASELINE config 4: BERT encoder variant, clip "
                          "batch 32, full dual-correspondence train forward")
+    ap.add_argument("--bert_eval", action="store_true",
+                    help="BASELINE config 4 EVAL path: 5-frame eval_clip "
+                         "with the frozen bert-base encoder; defaults to "
+                         "the eval headline's int8 backbone + trunk PTQ "
+                         "(both encoder-agnostic)")
     ap.add_argument("--backbone", action="store_true",
                     help="backbone-only eval forward (step-time breakdown: "
                          "what share of the eval step is the Darknet stack)")
@@ -86,7 +103,8 @@ def main():
                     help="store sole-consumer int8-backbone activations "
                          "as int8 in HBM. Default: ON for the offline "
                          "eval headline (+1-2%% there), OFF for "
-                         "--backbone/--serving (-9%%/-20%% there — "
+                         "--backbone (-9%%) and --serving (neutral, "
+                         "2,154 vs 2,157 pred/s same-day A/B — "
                          "path-dependent, BENCH_NOTES round 3)")
     ap.add_argument("--no_int8_chain", dest="int8_chain",
                     action="store_false")
@@ -103,7 +121,8 @@ def main():
     if args.clips is None:
         args.clips = 64 if not (args.train or args.serving or args.backbone
                                 or args.bert or args.single or args.host
-                                or args.video_mirror) else 16
+                                or args.video_mirror
+                                or args.train_mirror) else 16
     if args.int8_chain is None:
         args.int8_chain = not (args.backbone or args.serving)
     if args.quant is None:
@@ -111,7 +130,8 @@ def main():
         # config); other modes opt in explicitly
         args.quant = not (args.train or args.serving or args.backbone
                           or args.bert or args.single or args.host
-                          or args.smoke or args.fp32 or args.video_mirror)
+                          or args.smoke or args.fp32 or args.video_mirror
+                          or args.train_mirror)
 
     if args.host:
         return bench_host_pipeline(args)
@@ -119,6 +139,8 @@ def main():
         return bench_single_image(args)
     if args.video_mirror:
         return bench_video_mirror(args)
+    if args.train_mirror:
+        return bench_train_mirror(args)
 
     from dcnet_tpu.config import DCNetConfig
     from dcnet_tpu.models import DCNet
@@ -136,7 +158,8 @@ def main():
     dtype = jnp.float32 if (args.fp32 or args.smoke) else jnp.bfloat16
 
     cfg = DCNetConfig(
-        image_size=size, corpus_size=1000,
+        image_size=size, corpus_size=0 if args.bert_eval else 1000,
+        use_lstm=not args.bert_eval,
         compute_dtype="bfloat16" if dtype == jnp.bfloat16 else "float32",
         n_frames_train=args.frames, remat_backbone=args.remat,
         use_fused_coattn=not args.no_fused_coattn,
@@ -149,7 +172,9 @@ def main():
     rng = np.random.RandomState(0)
     images = jnp.asarray(
         rng.rand(clips * n_frame, size, size, 3).astype(np.float32))
-    word_ids = jnp.asarray(rng.randint(1, 1000, (clips, 20)).astype(np.int32))
+    vocab_hi = 30000 if args.bert_eval else 1000
+    word_ids = jnp.asarray(
+        rng.randint(1, vocab_hi, (clips, 20)).astype(np.int32))
     k_init = cfg.n_frames_train  # __call__ reshapes to k-frame clips
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
@@ -288,12 +313,16 @@ def main():
             rng.rand(n_streams, size, size, 3).astype(np.float32))
         sids = jnp.asarray(rng.randint(1, 1000, (n_streams, 20)).astype(np.int32))
         engine = GroundingEngine(model, variables, cfg, n_streams=n_streams,
-                                 n_frame=n_frame, topk=5, fuse_window=5)
+                                 n_frame=n_frame, topk=5, fuse_window=5,
+                                 donate_state=not args.no_donate)
         if args.quant:
             if args.quant_trunk is None:
                 args.quant_trunk = True  # matches engine.quantize default
             engine.quantize(frames[:16], calib_word_ids=sids[:1],
                             trunk=bool(args.quant_trunk))
+        if args.serving_breakdown:
+            return bench_serving_breakdown(args, engine, frames, sids,
+                                           iters, size, dtype)
         state = engine.init_state(sids)
         state, fused, _, _ = engine.step(state, frames)  # compile
         np.asarray(fused)
@@ -307,11 +336,20 @@ def main():
             np.asarray(out)
             return time.perf_counter() - t0
 
+        # Same-day protocol IN the bench (serving-shaped programs show
+        # ~25% cross-day environment variance, BENCH_NOTES round 3): repeat
+        # the two-chain-length measurement and report the median with its
+        # spread, so a single unlucky capture can't read as a regression.
         n_short = max(iters // 4, 1)
-        t_short = run_serving(n_short)
-        t_long = run_serving(iters)
-        dt_step = max((t_long - t_short) / (iters - n_short), 1e-9)
-        fps = n_streams / dt_step
+        reps = 1 if args.smoke else 5
+        vals = []
+        for _ in range(reps):
+            t_short = run_serving(n_short)
+            t_long = run_serving(iters)
+            dt = max((t_long - t_short) / (iters - n_short), 1e-9)
+            vals.append(n_streams / dt)
+        fps = float(np.median(vals))
+        dt_step = n_streams / fps
         print(json.dumps({
             "metric": "streaming_grounding_frames_per_sec_per_chip",
             "value": round(fps, 2),
@@ -319,6 +357,12 @@ def main():
             "vs_baseline": round(fps / A100_REFERENCE_FPS_ESTIMATE, 3),
             "extra": {"n_streams": n_streams, "p50_per_frame_ms":
                       round(dt_step / n_streams * 1000, 3),
+                      "repeats": reps,
+                      "fps_min": round(min(vals), 1),
+                      "fps_max": round(max(vals), 1),
+                      "spread_pct": round(
+                          (max(vals) - min(vals)) / fps * 100, 1),
+                      "donate_state": not args.no_donate,
                       "quant_int8_backbone": bool(args.quant),
                       "quant_int8_trunk": bool(args.quant
                                                and args.quant_trunk),
@@ -415,6 +459,8 @@ def main():
     p50_clip_ms = dt_step / clips * 1000.0
     print(json.dumps({
         "metric": ("backbone_only_frames_per_sec_per_chip" if args.backbone
+                   else "bert_video_eval_frames_per_sec_per_chip"
+                   if args.bert_eval
                    else "video_grounding_eval_frames_per_sec_per_chip"),
         "value": round(fps, 2),
         "unit": "frames/s",
@@ -426,8 +472,94 @@ def main():
             "quant_int8_backbone": bool(args.quant),
             "quant_int8_trunk": bool(args.quant and args.quant_trunk),
             "int8_chain": bool(args.quant and args.int8_chain),
+            "encoder": ("bert-base-uncased (frozen)" if args.bert_eval
+                        else "BiLSTM"),
             "device": str(jax.devices()[0].platform),
         },
+    }))
+
+
+def bench_serving_breakdown(args, engine, frames, sids, iters, size, dtype):
+    """Stage-time breakdown of the serving step via nested-prefix programs:
+    A = backbone extract only; B = A + ring shift; C = B + trunk
+    (eval_features + decode); D = the full step (C + top-k cache + fusion).
+    Stage shares = successive differences — the serving analog of the
+    train-step backbone/trunk breakdown (BENCH_NOTES)."""
+    from dcnet_tpu.eval.temporal import build_frame_cache
+    from dcnet_tpu.models.dcnet import DCNet as DCNetCls
+    from dcnet_tpu.ops.decode import decode_best
+
+    state = engine.init_state(sids)
+    cfg = engine.cfg
+    n_streams = engine.n_streams
+
+    def stage_extract(variables, state, frames, carry):
+        feats = engine._extract(variables, frames + carry * 0.0)
+        return sum(jnp.sum(f.astype(jnp.float32)) for f in feats)
+
+    def stage_rings(variables, state, frames, carry):
+        feats = engine._extract(variables, frames + carry * 0.0)
+        rings = tuple(
+            jnp.concatenate([r[:, 1:], f[:, None].astype(r.dtype)], axis=1)
+            for r, f in zip(state.feat_rings, feats))
+        return sum(jnp.sum(r.astype(jnp.float32)) for r in rings)
+
+    def stage_trunk(variables, state, frames, carry):
+        feats = engine._extract(variables, frames + carry * 0.0)
+        rings = tuple(
+            jnp.concatenate([r[:, 1:], f[:, None].astype(r.dtype)], axis=1)
+            for r, f in zip(state.feat_rings, feats))
+        tmodel, tvars = engine._trunk_model_vars(variables)
+        out = tmodel.apply(tvars, rings, state.word_ids,
+                           language=state.language,
+                           method=DCNetCls.eval_features)
+        dec = decode_best(out.outbox, cfg)
+        return (jnp.sum(dec.boxes) + jnp.sum(dec.score)
+                + sum(jnp.sum(r.astype(jnp.float32)) for r in rings)
+                + jnp.sum(out.corr_feat.astype(jnp.float32)))
+
+    def stage_full(variables, state, frames, carry):
+        new_state, fused, raw, score = engine._step_impl(
+            variables, state, frames + carry * 0.0)
+        return (jnp.sum(fused) + jnp.sum(score)
+                + sum(jnp.sum(r.astype(jnp.float32))
+                      for r in new_state.feat_rings)
+                + jnp.sum(new_state.cache_scores))
+
+    names = ["extract", "ring_shift", "trunk", "cache_fusion"]
+    stages = [stage_extract, stage_rings, stage_trunk, stage_full]
+    times = []
+    for fn in stages:
+        step = jax.jit(fn)
+
+        def run(n):
+            carry = jnp.float32(0)
+            t0 = time.perf_counter()
+            for _ in range(n):
+                carry = step(engine.variables, state, frames, carry)
+            np.asarray(carry)
+            return time.perf_counter() - t0
+
+        run(1)
+        n_short = max(iters // 4, 1)
+        t_short = run(n_short)
+        t_long = run(iters)
+        times.append(max((t_long - t_short) / (iters - n_short), 1e-9))
+
+    shares = {"extract_ms": times[0] * 1e3}
+    for i in range(1, 4):
+        shares[names[i] + "_ms"] = (times[i] - times[i - 1]) * 1e3
+    print(json.dumps({
+        "metric": "serving_step_breakdown_full_step_ms",
+        "value": round(times[3] * 1e3, 3),
+        "unit": "ms",
+        "vs_baseline": 0.0,
+        "extra": {**{k: round(v, 3) for k, v in shares.items()},
+                  "cumulative_ms": [round(t * 1e3, 3) for t in times],
+                  "n_streams": n_streams,
+                  "quant_int8_backbone": engine.qparams is not None,
+                  "quant_int8_trunk": engine.trunk_qcol is not None,
+                  "image_size": size, "dtype": str(dtype.__name__)},
     }))
 
 
@@ -658,6 +790,96 @@ def bench_video_mirror(args):
                   "frames_per_sec_cpu": round(fps, 1),
                   "n_frame": n_frame, "image_size": size, "dtype": "float32",
                   "baseline": "measured torch mirror, same weights/CPU"},
+    }))
+
+
+def bench_train_mirror(args):
+    """BASELINE config 2 vs a MEASURED baseline: our jitted train_step and
+    the torch reference train step (tests/ref_train_mirror.py — the
+    reference's training forward, per-sample sampling loops, 5 losses and
+    RMSprop param groups over the _RefModel module graph,
+    train_DCNet.py:527-534,563-726) run the SAME weights on the same CPU."""
+    import torch
+
+    jax.config.update("jax_platforms", "cpu")
+    from dcnet_tpu.config import DCNetConfig
+    from dcnet_tpu.models import DCNet
+    from dcnet_tpu.models.darknet import mini_backbone_defs, yolov3_layer_defs
+    from dcnet_tpu.train.checkpoint import export_reference_state_dict
+    from dcnet_tpu.train.state import create_train_state
+    from dcnet_tpu.train.step import train_step
+    from tests.ref_train_mirror import make_ref_optimizer, ref_train_step
+    from tests.test_reference_bridge import _RefModel
+
+    size = 64 if args.smoke else 256
+    clips = 1 if args.smoke else 2   # k=2 -> 2*clips images per step
+    iters = 2 if args.smoke else max(args.iters // 5, 3)
+    n_imgs = 2 * clips
+    cfg = DCNetConfig(image_size=size, corpus_size=1000, n_frames_train=2,
+                      interframe_top_k=min(30, (size // 32) ** 4),
+                      interframe_neg_n=min(10, (size // 32) ** 2 - 1),
+                      crossmodal_neg_n=min(5, (size // 32) ** 2 - 1))
+    defs = mini_backbone_defs() if args.smoke else yolov3_layer_defs()
+    model = DCNet(cfg=cfg, backbone_defs=defs)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "images": jnp.asarray(
+            rng.rand(n_imgs, size, size, 3).astype(np.float32)),
+        "word_ids": jnp.asarray(
+            rng.randint(1, 1000, (n_imgs, 20)).astype(np.int32)),
+        "bbox": jnp.asarray(np.stack([
+            rng.rand(n_imgs) * 50, rng.rand(n_imgs) * 50,
+            rng.rand(n_imgs) * 100 + 100, rng.rand(n_imgs) * 100 + 100,
+        ], 1).astype(np.float32)),
+    }
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               steps_per_epoch=1000, sample_batch=batch)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    def run_ours(n, state):
+        t0 = time.perf_counter()
+        m = None
+        for _ in range(n):
+            state, m = train_step(model, cfg, state, batch,
+                                  jax.random.PRNGKey(1))
+        np.asarray(m["loss"])
+        return time.perf_counter() - t0, state
+
+    _, state_w = run_ours(1, state)  # compile
+    n_short = max(iters // 4, 1)
+    t_short, state_w = run_ours(n_short, state_w)
+    t_long, _ = run_ours(iters, state_w)
+    ours_ms = max((t_long - t_short) / (iters - n_short), 1e-9) * 1e3
+
+    # torch mirror: SAME weights, train mode, reference optimizer recipe
+    sd = export_reference_state_dict(variables["params"],
+                                     variables["batch_stats"])
+    ref = _RefModel(cfg, defs=defs).train()
+    ref.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                         for k, v in sd.items()}, strict=True)
+    opt = make_ref_optimizer(ref, lr=cfg.lr)
+    t_img = torch.from_numpy(np.asarray(batch["images"]).transpose(0, 3, 1, 2))
+    t_ids = torch.from_numpy(np.asarray(batch["word_ids"], np.int64))
+    t_box = torch.from_numpy(np.asarray(batch["bbox"]))
+    ref_train_step(ref, opt, t_img, t_ids, t_box, cfg)  # warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ref_train_step(ref, opt, t_img, t_ids, t_box, cfg)
+    torch_ms = (time.perf_counter() - t0) / iters * 1e3
+
+    fps = n_imgs / (ours_ms / 1e3)
+    print(json.dumps({
+        "metric": "train_step_latency_cpu_k2",
+        "value": round(ours_ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(torch_ms / ours_ms, 3),  # speedup over torch
+        "extra": {"torch_reference_ms": round(torch_ms, 2),
+                  "frames_per_sec_cpu": round(fps, 1),
+                  "clip_batch": clips, "n_frame": 2, "image_size": size,
+                  "dtype": "float32",
+                  "baseline": "measured torch mirror train step "
+                              "(fwd+5-loss+bwd+RMSprop), same weights/CPU"},
     }))
 
 

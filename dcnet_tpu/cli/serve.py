@@ -58,7 +58,13 @@ def _parser():
                    help="write the AOT serving bundle here and exit")
     p.add_argument("--state_file", default="", type=str,
                    help="resume stream state from / checkpoint it to this "
-                        ".npz every tick (preemption-safe serving)")
+                        ".npz periodically (preemption-safe serving)")
+    p.add_argument("--state_every", default=16, type=int,
+                   help="checkpoint the stream state every N ticks (plus "
+                        "once at exit). The full state is ~14 MB/stream at "
+                        "256px bf16 — a per-tick rewrite at production "
+                        "stream counts would block the 30 ms step on ~GB "
+                        "of host I/O, so it is throttled by default")
     p.add_argument("--print_every", default=8, type=int)
     return p
 
@@ -151,8 +157,15 @@ def main(argv=None):
                              if args.num_frame_k > 2 else 5,
                              topk=args.topk, fuse_window=args.fuse_window)
     if args.quant:
-        calib = jnp.asarray(np.stack(
-            [f for s in streams for f in s[:4]][:32]))
+        # trunk calibration needs >= n_frame frames total (engine.quantize
+        # reshapes one clip); with few streams, take enough per stream
+        per = max(4, engine.n_frame)
+        calib_frames = [f for s in streams for f in s[:per]][:32]
+        if len(calib_frames) < engine.n_frame:
+            raise SystemExit(
+                f"--quant needs >= {engine.n_frame} calibration frames "
+                f"across streams, got {len(calib_frames)}")
+        calib = jnp.asarray(np.stack(calib_frames))
         engine.quantize(calib, calib_word_ids=word_ids[:1])
 
     if args.export_bundle:
@@ -175,7 +188,8 @@ def main(argv=None):
         frames = np.stack([s[min(t, len(s) - 1)] for s in streams])
         state, fused, raw, score = engine.step(state, frames)
         served += n
-        if args.state_file:
+        if args.state_file and args.state_every > 0 \
+                and (t + 1) % args.state_every == 0:
             save_stream_state(args.state_file, state)
         if (t + 1) % args.print_every == 0 or t == max_ticks - 1:
             np.asarray(fused)  # sync
@@ -184,6 +198,8 @@ def main(argv=None):
                   f"predictions/s, stream0 fused box "
                   f"{np.asarray(fused[0]).round(1).tolist()} "
                   f"score {float(score[0]):.3f}")
+    if args.state_file:
+        save_stream_state(args.state_file, state)  # final checkpoint
     print(f"served {served} predictions over {n} streams")
 
 

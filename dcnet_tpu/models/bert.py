@@ -47,6 +47,11 @@ class BertConfig:
         if "large" in bert_model:
             return cls(hidden_size=1024, num_layers=24, num_heads=16,
                        intermediate_size=4096)
+        if "mini" in bert_model or "tiny" in bert_model:
+            # tiny variant for smoke runs and the BERT accuracy lock
+            # (tools/make_converge32.py --bert): same id space, 4 layers
+            return cls(hidden_size=128, num_layers=4, num_heads=4,
+                       intermediate_size=512)
         return cls()
 
 

@@ -250,10 +250,10 @@ def backbone_apply_int8(layer_defs: Sequence[LayerDef], qparams: Dict,
 
     int8_chain stores sole-consumer conv activations as int8 in HBM
     (see sole_conv_consumer); the v5e A/B is PATH-DEPENDENT (round 3):
-    +1-2% on the batched offline eval step (5,809 f/s best point, where
-    the trunk competes for HBM), but -9% backbone-only and -20%+ on the
-    serving step — so it defaults OFF and the offline eval bench opts in
-    explicitly."""
+    +1-2% on the batched offline eval step (where the trunk competes for
+    HBM), -9% backbone-only, and neutral on the serving step (2,154 vs
+    2,157 pred/s same-day A/B, BENCH_NOTES round 3) — so it defaults OFF
+    here and only the offline eval bench opts in explicitly."""
     oq = sole_conv_consumer(layer_defs) if int8_chain else None
     return traverse(layer_defs, images,
                     int8_conv_fn(qparams, act_dtype, out_quant=oq))

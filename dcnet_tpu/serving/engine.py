@@ -49,7 +49,8 @@ class GroundingEngine:
 
     def __init__(self, model: DCNet, variables, cfg: DCNetConfig,
                  n_streams: int, n_frame: int = 5, topk: int = 5,
-                 fuse_window: int = 5, mesh=None):
+                 fuse_window: int = 5, mesh=None,
+                 donate_state: bool = True):
         self.model = model
         self.variables = variables
         self.cfg = cfg
@@ -63,13 +64,25 @@ class GroundingEngine:
         # full-ring shift + trunk reads halve their HBM traffic (the rings
         # are by far the largest serving state, ~N*n_frame*Σg²*C).
         self.state_dtype = model.dtype
+        # Donate the state pytree (mirrors train_step_donated,
+        # train/step.py): the shifted rings and top-k caches are written
+        # into the incoming buffers instead of fresh allocations — at 80
+        # streams that is ~1.1 GB of ring state per tick that no longer
+        # doubles up in HBM. The old state is INVALID after step(); pass
+        # donate_state=False to keep stepping stale states (tests,
+        # side-by-side comparisons).
+        self.donate_state = donate_state
         self.qparams = None
         self.trunk_qcol = None   # trunk PTQ scales (baked as constants)
         self._qmodel = None      # cfg.trunk_quant="int8" model variant
-        self._step = jax.jit(self._step_impl)
+        self._step = self._jit_step()
         self._encode_lang = jax.jit(
             lambda v, ids: self.model.apply(v, ids,
                                             method=DCNet.encode_language))
+
+    def _jit_step(self):
+        kw = {"donate_argnums": (1,)} if self.donate_state else {}
+        return jax.jit(self._step_impl, **kw)
 
     def quantize(self, calib_frames, calib_word_ids=None,
                  trunk: bool = True) -> "GroundingEngine":
@@ -92,14 +105,24 @@ class GroundingEngine:
         if trunk:
             n_frame = self.n_frame
             frames = jnp.asarray(calib_frames)[:n_frame]
+            if frames.shape[0] < n_frame:
+                raise ValueError(
+                    f"trunk calibration needs >= n_frame={n_frame} frames, "
+                    f"got {frames.shape[0]}")
             if calib_word_ids is None:
                 calib_word_ids = jnp.ones((1, self.cfg.query_len), jnp.int32)
             wid = jnp.asarray(calib_word_ids)[:1]
+            # calibrate on the SAME features the served step will see:
+            # raw int8-backbone outputs (not the float backbone), so
+            # mapping_visu's act_max matches the deployed activation range
+            raw = Q.backbone_apply_int8(
+                Q.model_layer_defs(self.model), self.qparams, frames,
+                act_dtype=getattr(self.model, "dtype", jnp.float32))
 
             def calib_path(mdl):
                 # one pass covering BOTH step halves: extract (mapping_visu)
                 # and the eval trunk (corr_conv/fcn)
-                feats = mdl.extract_features(frames)
+                feats = mdl.map_features(raw)
                 per_frame = [f.reshape(1, n_frame, *f.shape[1:])
                              for f in feats]
                 return mdl.eval_features(per_frame, wid)
@@ -109,7 +132,7 @@ class GroundingEngine:
                 lambda m, v: m.apply(v, method=calib_path,
                                      mutable=["quant"]))
             self._qmodel = Q.trunk_quant_variant(self.model, "int8")
-        self._step = jax.jit(self._step_impl)
+        self._step = self._jit_step()
         return self
 
     def _trunk_model_vars(self, variables):
@@ -179,12 +202,17 @@ class GroundingEngine:
             full.at[changed].set(part.astype(full.dtype))
             for full, part in zip(state.language, lang_new))
         keep = jnp.ones((self.n_streams,), jnp.float32).at[changed].set(0.0)
+        # cache_feats rides in state_dtype (bf16 in production) — cast the
+        # mask, not the cache: an fp32 multiply would silently promote the
+        # ring and break the jitted step's (and exported bundle's) dtype
+        # contract.
+        keep_f = keep.astype(state.cache_feats.dtype)
         return state._replace(
             word_ids=state.word_ids.at[changed].set(changed_ids),
             language=language,
             cache_boxes=state.cache_boxes * keep[:, None, None, None],
             cache_scores=state.cache_scores * keep[:, None, None],
-            cache_feats=state.cache_feats * keep[:, None, None, None],
+            cache_feats=state.cache_feats * keep_f[:, None, None, None],
             frames_seen=(state.frames_seen
                          * keep.astype(state.frames_seen.dtype)),
         )
@@ -263,7 +291,9 @@ class GroundingEngine:
     def step(self, state: StreamState, frames):
         """Feed one new frame per stream. Returns
         (state, fused_boxes (N,4), raw_boxes (N,4), scores (N,)).
-        Predictions are valid once frames_seen >= n_frame."""
+        Predictions are valid once frames_seen >= n_frame.
+        With donate_state (the default), the INPUT state's buffers are
+        donated to the step — always continue from the returned state."""
         if self.mesh is not None:
             from dcnet_tpu.parallel.mesh import batch_sharding
             sh = batch_sharding(self.mesh)

@@ -21,9 +21,14 @@ def _patched_build_dataset(root, limit_rows=None):
         index = os.path.join(root, f"VID_video_level_{split}.json")
         corpus = build_synthetic_corpus()
         k = num_frame_k if num_frame_k is not None else args.num_frame_k
-        ds = VIDDataset(index, corpus, split=split, imsize=args.size,
-                        num_frame_k=k, max_query_len=args.time,
-                        testmode=testmode, image_root=root, seed=args.seed)
+        tok = None
+        if not args.lstm:  # BERT path tokenizes with its own vocab
+            from dcnet_tpu.data.bert_tokenize import get_bert_tokenizer
+            tok = get_bert_tokenizer(args.bert_model)
+        ds = VIDDataset(index, corpus if args.lstm else None, split=split,
+                        imsize=args.size, num_frame_k=k,
+                        max_query_len=args.time, testmode=testmode,
+                        image_root=root, seed=args.seed, bert_tokenizer=tok)
         if limit_rows:
             ds.chunks = ds.chunks[:limit_rows]
         return ds, corpus
@@ -98,6 +103,39 @@ def test_quant_eval_close_to_fp(monkeypatch):
         _run_main(tmod, base + ["--quant", "--quant_trunk"]))
     assert abs(miou_t - miou_fp) < 0.03, (miou_fp, miou_t)
     assert abs(acc_t - acc_fp) < 0.11, (acc_fp, acc_t)
+
+
+@pytest.mark.skipif(
+    not (os.path.exists("saved_models/converge32bert")
+         and os.path.exists("data/synthetic32")),
+    reason="BERT ckpt / corpus absent — regenerate with: python tools/make_converge32.py --bert")
+def test_bert_eval_locks(monkeypatch):
+    """The BERT-path accuracy lock (BASELINE config 4): trained
+    converge32bert weights ground the synthetic test split, --stream_eval
+    matches standard eval, and the int8 backbone + trunk PTQ (which on
+    the BERT path calibrates on BERT-conditioned fcn tiles) stay within
+    noise — the BERT twin of the LSTM locks above."""
+    import dcnet_tpu.cli.test as tmod
+
+    monkeypatch.setattr(
+        tmod, "build_dataset",
+        _patched_build_dataset("data/synthetic32", limit_rows=10))
+    base = ["--synthetic", "--mini", "--size", "64",
+            "--bert_model", "bert-mini",
+            "--num_frame_k", "5", "--test", "--batch_size", "4",
+            "--resume", "./saved_models/converge32bert",
+            "--savename", "cli_bert_lock"]
+    acc_std, miou_std = _metrics_line(_run_main(tmod, base))
+    assert miou_std > 0.05  # trained BERT trunk grounds something
+    acc_str, miou_str = _metrics_line(
+        _run_main(tmod, base + ["--stream_eval"]))
+    assert abs(acc_std - acc_str) < 1e-6
+    assert abs(miou_std - miou_str) < 2e-3
+    acc_q, miou_q = _metrics_line(
+        _run_main(tmod, base + ["--stream_eval", "--quant",
+                                "--quant_trunk"]))
+    assert abs(miou_q - miou_std) < 0.03, (miou_std, miou_q)
+    assert abs(acc_q - acc_std) < 0.11, (acc_std, acc_q)
 
 
 def test_quant_eval_cli_smoke(tmp_path, monkeypatch):
@@ -183,6 +221,35 @@ def test_serve_cli_smoke(tmp_path, monkeypatch):
     out2 = _run_main(smod, base + ["--ticks", "2"])
     assert "resumed stream state" in out2
     assert "frames_seen=[4, 4]" in out2
+
+
+def test_serve_cli_frames_root(tmp_path, monkeypatch):
+    """--frames_root serves real frame directories (phrase.txt + jpgs per
+    stream dir) end to end, with throttled state checkpointing
+    (--state_every) and a resume that carries frames_seen over."""
+    import cv2
+    import dcnet_tpu.cli.serve as smod
+
+    rng = np.random.RandomState(0)
+    root = tmp_path / "streams"
+    for i, phrase in enumerate(["red box left", "blue ball right"]):
+        d = root / f"s{i}"
+        d.mkdir(parents=True)
+        (d / "phrase.txt").write_text(phrase)
+        for t in range(6):
+            img = (rng.rand(72, 96, 3) * 255).astype(np.uint8)
+            cv2.imwrite(str(d / f"f{t:03d}.jpg"), img)
+    monkeypatch.chdir(tmp_path)
+    state_file = str(tmp_path / "st.npz")
+    base = ["--frames_root", str(root), "--lstm", "--mini", "--size", "64",
+            "--n_streams", "2", "--print_every", "3",
+            "--state_file", state_file]
+    out = _run_main(smod, base + ["--ticks", "6", "--state_every", "2"])
+    assert "served 12 predictions over 2 streams" in out
+    assert os.path.exists(state_file)
+    out2 = _run_main(smod, base + ["--ticks", "2"])
+    assert "resumed stream state" in out2
+    assert "frames_seen=[6, 6]" in out2
 
 
 @pytest.mark.skipif(not os.path.exists("data/synthetic32"),

@@ -108,8 +108,11 @@ def test_query_hot_swap(setup):
     ids_a = rng.randint(1, 50, (2, 20)).astype(np.int32)
     ids_b = rng.randint(1, 50, (2, 20)).astype(np.int32)
 
+    # donate_state=False: the test deliberately steps BOTH the pre-swap and
+    # post-swap states from the same snapshot (they share ring buffers)
     engine = GroundingEngine(model, variables, CFG, n_streams=2,
-                             n_frame=5, topk=3, fuse_window=3)
+                             n_frame=5, topk=3, fuse_window=3,
+                             donate_state=False)
     state = engine.init_state(ids_a)
     for t in range(5):
         state, _, raw_before, _ = engine.step(state, frames[t])
@@ -178,7 +181,8 @@ def test_query_hot_swap_on_quantized_engine(setup):
     ids_b = rng.randint(1, 50, (2, 20)).astype(np.int32)
 
     engine = GroundingEngine(model, variables, CFG, n_streams=2,
-                             n_frame=5, topk=3, fuse_window=3)
+                             n_frame=5, topk=3, fuse_window=3,
+                             donate_state=False)  # steps a stale snapshot
     engine.quantize(frames.reshape(-1, 64, 64, 3),
                     calib_word_ids=ids_a, trunk=True)
     state = engine.init_state(ids_a)
@@ -270,6 +274,34 @@ def test_bf16_engine_state_and_roundtrip(setup, tmp_path):
     # argmax flips at any rounding — the bf16-vs-fp accuracy claim is
     # locked on the trained checkpoint in tests/test_cli.py instead.)
     assert np.isfinite(np.asarray(fused)).all()
+    assert np.isfinite(np.asarray(raw)).all()
+
+
+def test_query_hot_swap_preserves_bf16_state(setup):
+    """update_queries on a bf16-dtype engine must NOT promote the cache
+    rings to fp32 (a promoted state would recompile the jitted step and be
+    rejected by an exported bundle's fixed input specs)."""
+    _, variables = setup
+    model16 = DCNet(cfg=CFG, backbone_defs=mini_backbone_defs(),
+                    dtype=jnp.bfloat16)
+    rng = np.random.RandomState(17)
+    frames = rng.rand(2, 2, 64, 64, 3).astype(np.float32)
+    ids_a = rng.randint(1, 50, (2, 20)).astype(np.int32)
+    ids_b = rng.randint(1, 50, (2, 20)).astype(np.int32)
+
+    eng = GroundingEngine(model16, variables, CFG, n_streams=2,
+                          n_frame=5, topk=3, fuse_window=3)
+    state = eng.init_state(ids_a)
+    state, *_ = eng.step(state, frames[0])
+    swapped = eng.update_queries(state, ids_b, mask=np.array([True, False]))
+    assert swapped.cache_feats.dtype == jnp.bfloat16
+    assert all(r.dtype == jnp.bfloat16 for r in swapped.feat_rings)
+    for a, b in zip(state.language, swapped.language):
+        assert a.dtype == b.dtype
+    # the swapped state still feeds the SAME compiled step (no recompile,
+    # no dtype mismatch)
+    s2, fused, raw, _ = eng.step(swapped, frames[1])
+    assert s2.cache_feats.dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(raw)).all()
 
 

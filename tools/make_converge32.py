@@ -1,24 +1,30 @@
-"""Regenerate the trained-artifact pair behind the accuracy-lock tests.
+"""Regenerate the trained artifacts behind the accuracy-lock tests.
 
-Produces (both gitignored, so a wiped workspace can restore them):
-  data/synthetic32/          32-video synthetic VID corpus (seed 13 —
-                             byte-identical regeneration, verified)
-  saved_models/converge32b/  30-epoch trained checkpoint (mini backbone,
-                             LSTM, 64px, clip k=2, batch 8 -> 24 steps/epoch,
-                             step 720 at epoch 29)
+Produces (all gitignored, so a wiped workspace can restore them):
+  data/synthetic32/            32-video synthetic VID corpus (seed 13 —
+                               byte-identical regeneration, verified)
+  saved_models/converge32b/    30-epoch trained checkpoint (mini backbone,
+                               LSTM, 64px, clip k=2, batch 8 -> 24
+                               steps/epoch, step 720 at epoch 29)
+  saved_models/converge32bert/ the BERT-path twin (--bert): frozen
+                               bert-mini encoder (models/bert.py), same
+                               data/recipe — the accuracy lock for the
+                               BERT trunk (BASELINE config 4)
 
 Usage:
-    python tools/make_converge32.py              # TPU: ~45 min
+    python tools/make_converge32.py              # TPU: ~45 min (LSTM lock)
+    python tools/make_converge32.py --bert       # TPU: BERT lock only
     DCNET_PLATFORM=cpu python tools/make_converge32.py   # CPU: hours
 
-Then the two skipif-gated locks run:
+Then the skipif-gated locks run:
     python -m pytest tests/test_cli.py -q -k \
-        'stream_eval_matches_standard or quant_eval_close_to_fp'
+        'stream_eval_matches_standard or quant_eval_close_to_fp or bert'
 
-Expected end-of-train metrics (round-2 reference run): accu 0.419,
-mean_iu ~0.414 on the synthetic test split. Small run-to-run drift is
-fine — the locks assert equivalences (stream==standard, int8~=fp), not
-absolute accuracy, requiring only miou > 0.05.
+Expected end-of-train metrics (round-2 reference run, LSTM): accu 0.419,
+mean_iu ~0.414 on the synthetic test split; BERT (round 4): accu ~0.31,
+mean_iu ~0.33. Small run-to-run drift is fine — the locks assert
+equivalences (stream==standard, int8~=fp), not absolute accuracy,
+requiring only miou > 0.05.
 """
 
 from __future__ import annotations
@@ -30,6 +36,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 DATA_ROOT = "data/synthetic32"
 SAVENAME = "converge32b"
+BERT_SAVENAME = "converge32bert"
 SEED = 13
 NUM_VIDEOS = 32
 FRAMES_PER_VIDEO = 8
@@ -71,9 +78,29 @@ def train() -> None:
     ])
 
 
+def train_bert() -> None:
+    """BERT-path twin of the LSTM lock: frozen bert-mini encoder, same
+    corpus/recipe. Trains the trunk on fixed random-init BERT features
+    (the reference freezes BERT too, DCNet_model.py:483-484 — only the
+    sentence feature is detached there; we freeze the whole encoder)."""
+    import dcnet_tpu.cli.train as tmod
+
+    tmod.build_dataset = patched_build_dataset
+    tmod.main([
+        "--synthetic", "--mini", "--size", "64",
+        "--bert_model", "bert-mini",
+        "--batch_size", "8", "--nb_epoch", "30",
+        "--seed", str(SEED), "--savename", BERT_SAVENAME,
+    ])
+
+
 if __name__ == "__main__":
     make_dataset()
     if "--dataset_only" in sys.argv:
+        sys.exit(0)
+    if "--bert" in sys.argv:
+        train_bert()
+        print(f"done: saved_models/{BERT_SAVENAME} + {DATA_ROOT}")
         sys.exit(0)
     train()
     print(f"done: saved_models/{SAVENAME} + {DATA_ROOT}")
