@@ -42,8 +42,9 @@ def main():
     ap.add_argument("--serving", action="store_true",
                     help="benchmark the streaming multi-query engine instead")
     ap.add_argument("--no_donate", action="store_true",
-                    help="A/B: serving step WITHOUT state-buffer donation "
-                         "(production default donates the ring state)")
+                    help="A/B: serving/train step WITHOUT state-buffer "
+                         "donation (production donates rings / optimizer "
+                         "state)")
     ap.add_argument("--serving_breakdown", action="store_true",
                     help="time the serving step's stages separately "
                          "(extract / ring shift / trunk / cache+fusion) — "
@@ -188,7 +189,7 @@ def main():
         # reference recipe shape: k-frame clips, batch = clips
         # (train_DCNet.py:584, README.md:34; k=2 default)
         from dcnet_tpu.train.state import create_train_state
-        from dcnet_tpu.train.step import train_step
+        from dcnet_tpu.train.step import train_step, train_step_donated
         n_imgs = args.frames * clips
         batch = {
             "images": jnp.asarray(
@@ -272,12 +273,16 @@ def main():
         except Exception:
             pass
 
+        # production config donates the state pytree (train/step.py);
+        # --no_donate preserves the non-aliased A/B
+        step_fn = train_step if args.no_donate else train_step_donated
+
         def run_train(n, state):
             t0 = time.perf_counter()
             m = None
             for _ in range(n):
-                state, m = train_step(model, cfg, state, batch,
-                                      jax.random.PRNGKey(1))
+                state, m = step_fn(model, cfg, state, batch,
+                                   jax.random.PRNGKey(1))
             np.asarray(m["loss"])
             return time.perf_counter() - t0, state
 
@@ -295,6 +300,7 @@ def main():
             "extra": {"clip_batch": clips, "n_frame": args.frames,
                       "step_ms": round(dt_step * 1e3, 2),
                       "remat": args.remat,
+                      "donate_state": not args.no_donate,
                       # v5e bf16 peak ~= 197 TFLOP/s; MFU from the XLA cost
                       # analysis of the full compiled step
                       "step_tflops": round(flops / 1e12, 3) if flops else None,
