@@ -522,7 +522,8 @@ def bench_serving_breakdown(args, engine, frames, sids, iters, size, dtype):
         dec = decode_best(out.outbox, cfg)
         return (jnp.sum(dec.boxes) + jnp.sum(dec.score)
                 + sum(jnp.sum(r.astype(jnp.float32)) for r in rings)
-                + jnp.sum(out.corr_feat.astype(jnp.float32)))
+                + sum(jnp.sum(c.astype(jnp.float32))
+                      for c in jax.tree_util.tree_leaves(out.corr_feat)))
 
     def stage_full(variables, state, frames, carry):
         new_state, fused, raw, score = engine._step_impl(

@@ -54,17 +54,18 @@ def test_bert_matches_transformers():
 
 
 def test_bert_encoder_contract():
-    model = BertEncoder(bert_model="tiny-for-test", proj_dim=16)
-    # "tiny-for-test" is not 'large', so base dims; override via monkey
-    # config is heavy — instead just check the wrapper on base-size inputs
-    # with a small vocab slice of ids.
+    # "bert-mini" -> the 128-hidden 4-layer lock/smoke config
+    # (BertConfig.for_model); the wrapper contract is dimension-generic.
+    model = BertEncoder(bert_model="bert-mini", proj_dim=16)
     rng = np.random.RandomState(1)
     ids = jnp.asarray(rng.randint(1, 100, (2, 20)).astype(np.int32))
     variables = model.init(jax.random.PRNGKey(0), ids)
     sent, ctx, emb = model.apply(variables, ids)
-    assert sent.shape == (2, 768)
-    assert ctx.shape == (2, 20, 768)
+    assert sent.shape == (2, 128)
+    assert ctx.shape == (2, 20, 128)
     assert emb.shape == (2, 20, 16)
+    assert BertConfig.for_model("bert-base-uncased").hidden_size == 768
+    assert BertConfig.for_model("bert-large-uncased").hidden_size == 1024
 
     # frozen: no grads reach bert params, but proj gets grads
     def loss(params):
