@@ -45,6 +45,10 @@ def main():
                     help="A/B: serving/train step WITHOUT state-buffer "
                          "donation (production donates rings / optimizer "
                          "state)")
+    ap.add_argument("--shift_rings", action="store_true",
+                    help="A/B: serving feature rings as a shifted buffer "
+                         "(the pre-round-4 layout) instead of the rotating "
+                         "single-slot write")
     ap.add_argument("--serving_breakdown", action="store_true",
                     help="time the serving step's stages separately "
                          "(extract / ring shift / trunk / cache+fusion) — "
@@ -320,7 +324,8 @@ def main():
         sids = jnp.asarray(rng.randint(1, 1000, (n_streams, 20)).astype(np.int32))
         engine = GroundingEngine(model, variables, cfg, n_streams=n_streams,
                                  n_frame=n_frame, topk=5, fuse_window=5,
-                                 donate_state=not args.no_donate)
+                                 donate_state=not args.no_donate,
+                                 rotate_rings=not args.shift_rings)
         if args.quant:
             if args.quant_trunk is None:
                 args.quant_trunk = True  # matches engine.quantize default
@@ -369,6 +374,7 @@ def main():
                       "spread_pct": round(
                           (max(vals) - min(vals)) / fps * 100, 1),
                       "donate_state": not args.no_donate,
+                      "rotate_rings": not args.shift_rings,
                       "quant_int8_backbone": bool(args.quant),
                       "quant_int8_trunk": bool(args.quant
                                                and args.quant_trunk),
@@ -503,21 +509,29 @@ def bench_serving_breakdown(args, engine, frames, sids, iters, size, dtype):
         feats = engine._extract(variables, frames + carry * 0.0)
         return sum(jnp.sum(f.astype(jnp.float32)) for f in feats)
 
-    def stage_rings(variables, state, frames, carry):
-        feats = engine._extract(variables, frames + carry * 0.0)
-        rings = tuple(
+    def _update_rings(state, feats):
+        # mirror the engine's ring mode (rotate vs shift)
+        if engine.rotate_rings:
+            new_slot = jax.lax.rem(state.slot + 1, engine.n_frame)
+            return new_slot, tuple(
+                jax.lax.dynamic_update_index_in_dim(
+                    r, f.astype(r.dtype), new_slot, axis=1)
+                for r, f in zip(state.feat_rings, feats))
+        return None, tuple(
             jnp.concatenate([r[:, 1:], f[:, None].astype(r.dtype)], axis=1)
             for r, f in zip(state.feat_rings, feats))
+
+    def stage_rings(variables, state, frames, carry):
+        feats = engine._extract(variables, frames + carry * 0.0)
+        _, rings = _update_rings(state, feats)
         return sum(jnp.sum(r.astype(jnp.float32)) for r in rings)
 
     def stage_trunk(variables, state, frames, carry):
         feats = engine._extract(variables, frames + carry * 0.0)
-        rings = tuple(
-            jnp.concatenate([r[:, 1:], f[:, None].astype(r.dtype)], axis=1)
-            for r, f in zip(state.feat_rings, feats))
+        new_slot, rings = _update_rings(state, feats)
         tmodel, tvars = engine._trunk_model_vars(variables)
         out = tmodel.apply(tvars, rings, state.word_ids,
-                           language=state.language,
+                           language=state.language, newest_slot=new_slot,
                            method=DCNetCls.eval_features)
         dec = decode_best(out.outbox, cfg)
         return (jnp.sum(dec.boxes) + jnp.sum(dec.score)

@@ -34,7 +34,7 @@ from dcnet_tpu.models.heads import (
     tile_language,
 )
 from dcnet_tpu.models.lstm import BiLSTMEncoder
-from dcnet_tpu.ops.coattention import coattention_pair
+from dcnet_tpu.ops.coattention import coattention_center, coattention_pair
 from dcnet_tpu.ops.coords import generate_coord
 from dcnet_tpu.ops.correspondence import (
     ContrastiveSamples, crossmodal_pairs, interframe_pairs,
@@ -142,6 +142,20 @@ class DCNet(nn.Module):
             return coattention_pair_fused(f1, f2, self.cfg.coattn_temperature)
         return coattention_pair(f1, f2, self.cfg.coattn_temperature,
                                 tp_shard=self.cfg.tp_internals)
+
+    def _coattn_center(self, f1: jnp.ndarray, f2: jnp.ndarray) -> jnp.ndarray:
+        """Single-direction co-attention (attended-for-f1 only) for the
+        paths that never consume direction 2: the eval/serving trunk and
+        the k>2 ring-pairing train step. The Pallas pair kernel is opaque
+        to XLA DCE, so using it here would execute (and differentiate)
+        the discarded direction."""
+        if (self.cfg.use_fused_coattn and not self.cfg.tp_internals
+                and jax.default_backend() == "tpu"):
+            from dcnet_tpu.ops.pallas.coattn import coattention_center_fused
+            return coattention_center_fused(f1, f2,
+                                            self.cfg.coattn_temperature)
+        return coattention_center(f1, f2, self.cfg.coattn_temperature,
+                                  tp_shard=self.cfg.tp_internals)
 
     def _language(self, word_ids: jnp.ndarray, train: bool):
         """Returns (flang (B,C) mapped+normalized, context, embedded).
@@ -287,7 +301,7 @@ class DCNet(nn.Module):
                 cfg.interframe_neg_n, rng_inter)
             corr_feat = []
             for i in range(3):
-                att, _ = self._coattn(fvisu[i], ring_next(fvisu[i]))
+                att = self._coattn_center(fvisu[i], ring_next(fvisu[i]))
                 cf = self.corr_conv[i](
                     jnp.concatenate([fvisu[i], att], axis=-1), train)
                 corr_feat.append(l2_normalize(cf, axis=-1))
@@ -343,28 +357,46 @@ class DCNet(nn.Module):
 
     def eval_features(self, per_frame: Sequence[jnp.ndarray],
                       word_ids: jnp.ndarray, center: Optional[int] = None,
-                      train: bool = False, language=None) -> EvalOutputs:
+                      train: bool = False, language=None,
+                      newest_slot=None) -> EvalOutputs:
         """Trunk over pre-extracted per-frame features.
 
         per_frame: per scale (B, n_frame, h, w, C) mapped+normalized
         features; word_ids (B, L). Center-vs-each-reference co-attention,
         corr_conv, averaged (test_DCNet_model.py:303-332). Pass `language`
-        = (flang, context, embedded) to skip the text encoder."""
+        = (flang, context, embedded) to skip the text encoder.
+
+        newest_slot: optional traced () int32 — the serving engine's
+        rotating ring stores frames in modular order (newest at
+        `newest_slot`, oldest right after it) instead of shifting the
+        buffer each tick. Frame at temporal position j (0 = oldest) lives
+        at physical index (newest_slot + 1 + j) mod n_frame; slices are
+        read by dynamic index, so one compiled program serves every slot
+        value. None = physical order IS temporal order (offline eval)."""
         cfg = self.cfg
         n_frame = per_frame[0].shape[1]
         center = n_frame // 2 if center is None else center
         ref_idx = [i for i in range(n_frame) if i != center]
         n_ref = len(ref_idx)
 
+        if newest_slot is None:
+            def frame(i, j):  # temporal j == physical j
+                return per_frame[i][:, j]
+        else:
+            def frame(i, j):
+                phys = jax.lax.rem(newest_slot + 1 + j, n_frame)
+                return jax.lax.dynamic_index_in_dim(
+                    per_frame[i], phys, axis=1, keepdims=False)
+
         # Per-reference loop, q = the same center block each time (batching
         # the refs into one call requires materializing n_ref copies of the
         # center features for the attention kernel, which measured slower).
         corr_feat = []
         for i in range(3):
-            cen = per_frame[i][:, center]
+            cen = frame(i, center)
             acc = None
             for idx in ref_idx:
-                att, _ = self._coattn(cen, per_frame[i][:, idx])
+                att = self._coattn_center(cen, frame(i, idx))
                 cf = self.corr_conv[i](
                     jnp.concatenate([cen, att], axis=-1), train)
                 cf = l2_normalize(cf, axis=-1)

@@ -52,10 +52,21 @@ def coattention_pair(
 
 
 def coattention_center(
-    center: jnp.ndarray, ref: jnp.ndarray, temperature: float = 10.0
+    center: jnp.ndarray, ref: jnp.ndarray, temperature: float = 10.0,
+    tp_shard: bool = False,
 ) -> jnp.ndarray:
     """Eval-path single direction: attended features for the center frame
     against one reference frame (test_DCNet_model.py:247-274 uses only the
-    `input1` concat direction)."""
-    f1_att, _ = coattention_pair(center, ref, temperature)
-    return f1_att
+    `input1` concat direction). Computed directly — direction 2's softmax
+    and apply matmul are never built (outside jit there is no DCE to
+    remove them)."""
+    b, h, w, c = center.shape
+    k = center.reshape(b, h * w, c)
+    v = ref.reshape(b, h * w, c)
+    logits = jnp.einsum("bpc,bqc->bpq", k, v) * temperature
+    if tp_shard:
+        from jax.sharding import PartitionSpec as P
+        logits = jax.lax.with_sharding_constraint(
+            logits, P("data", "model", None))
+    attn_for_f1 = jax.nn.softmax(logits, axis=2)
+    return jnp.einsum("bqc,bpq->bpc", v, attn_for_f1).reshape(b, h, w, c)

@@ -193,6 +193,50 @@ def _bwd(temperature, interpret, res, g):
 coattention_fused.defvjp(_fwd, _bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def coattention_one(f1: jnp.ndarray, f2: jnp.ndarray, temperature: float,
+                    interpret: bool = False):
+    """Single-direction fused co-attention: attended-for-f1 only.
+
+    The eval/serving trunk and the k>2 ring-pairing train path consume only
+    direction 1 (test_DCNet_model.py:247-274 uses only the `input1` concat).
+    A Pallas call is opaque to XLA dead-code elimination, so the pair kernel
+    cannot have its unused second direction DCE'd the way the einsum
+    composition does — this variant simply never launches it (co-attention
+    is ~18 of the serving trunk's ~21 GFLOP/stream, half of it direction 2).
+    """
+    return _attend(f1, f2, temperature, interpret)
+
+
+def _one_fwd(f1, f2, temperature, interpret):
+    return coattention_one(f1, f2, temperature, interpret), (f1, f2)
+
+
+def _one_bwd(temperature, interpret, res, g):
+    f1, f2 = res
+    return _attend_bwd(f1, f2, temperature, g, interpret)
+
+
+coattention_one.defvjp(_one_fwd, _one_bwd)
+
+
+def coattention_center_fused(
+    center: jnp.ndarray, ref: jnp.ndarray, temperature: float = 10.0,
+    max_vmem_p: int = 4096, interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in for ops.coattention.coattention_center on (B, H, W, C)
+    inputs: direction-1 attended features only, fused when the kv block
+    fits VMEM."""
+    b, h, w, c = center.shape
+    p = h * w
+    if not HAS_PALLAS or p > max_vmem_p:
+        from dcnet_tpu.ops.coattention import coattention_center
+        return coattention_center(center, ref, temperature)
+    o1 = coattention_one(
+        center.reshape(b, p, c), ref.reshape(b, p, c), temperature, interpret)
+    return o1.reshape(b, h, w, c)
+
+
 def coattention_pair_fused(
     f1: jnp.ndarray, f2: jnp.ndarray, temperature: float = 10.0,
     max_vmem_p: int = 4096, interpret: bool = False,

@@ -42,6 +42,8 @@ class StreamState(NamedTuple):
     frames_seen: jnp.ndarray             # (N,) int32
     word_ids: jnp.ndarray                # (N, L) each stream's phrase
     language: Tuple[jnp.ndarray, ...]    # cached (flang, context, embedded)
+    slot: jnp.ndarray                    # () int32 — physical ring index of
+    #   the NEWEST frame (rotate mode); carried but unused in shift mode
 
 
 class GroundingEngine:
@@ -50,7 +52,7 @@ class GroundingEngine:
     def __init__(self, model: DCNet, variables, cfg: DCNetConfig,
                  n_streams: int, n_frame: int = 5, topk: int = 5,
                  fuse_window: int = 5, mesh=None,
-                 donate_state: bool = True):
+                 donate_state: bool = True, rotate_rings: bool = True):
         self.model = model
         self.variables = variables
         self.cfg = cfg
@@ -72,6 +74,15 @@ class GroundingEngine:
         # donate_state=False to keep stepping stale states (tests,
         # side-by-side comparisons).
         self.donate_state = donate_state
+        # Rotating ring (default): each step writes the new frame's features
+        # into ONE slot (slot = (t) mod n_frame) instead of shifting the
+        # whole ring down by one — the shift re-materialized all
+        # N*n_frame*Σg²*C ring bytes every tick (2.2 ms of the 29 ms
+        # 80-stream step, serving breakdown, BENCH_NOTES round 4). The
+        # trunk reads slices by dynamic index in temporal order, so outputs
+        # are identical; frame order inside the buffer is rotated only.
+        # rotate_rings=False preserves the shift layout for A/B.
+        self.rotate_rings = rotate_rings
         self.qparams = None
         self.trunk_qcol = None   # trunk PTQ scales (baked as constants)
         self._qmodel = None      # cfg.trunk_quant="int8" model variant
@@ -174,6 +185,7 @@ class GroundingEngine:
             frames_seen=jnp.zeros((n,), jnp.int32),
             word_ids=word_ids,
             language=tuple(language),
+            slot=jnp.int32(self.n_frame - 1),  # first step writes slot 0
         )
 
     def update_queries(self, state: StreamState, word_ids,
@@ -227,16 +239,27 @@ class GroundingEngine:
 
         # 1. backbone only on the new frames (int8 path after .quantize())
         new_feats = self._extract(variables, frames)
-        # 2. shift the rings, append the new frame at the end
-        rings = tuple(
-            jnp.concatenate([ring[:, 1:],
-                             f[:, None].astype(ring.dtype)], axis=1)
-            for ring, f in zip(state.feat_rings, new_feats))
+        # 2. ring update: rotate mode writes the new frame into one slot;
+        #    shift mode re-materializes the whole ring (A/B baseline)
+        if self.rotate_rings:
+            new_slot = jax.lax.rem(state.slot + 1, self.n_frame)
+            rings = tuple(
+                jax.lax.dynamic_update_index_in_dim(
+                    ring, f.astype(ring.dtype), new_slot, axis=1)
+                for ring, f in zip(state.feat_rings, new_feats))
+        else:
+            new_slot = state.slot
+            rings = tuple(
+                jnp.concatenate([ring[:, 1:],
+                                 f[:, None].astype(ring.dtype)], axis=1)
+                for ring, f in zip(state.feat_rings, new_feats))
 
         # 3. center-frame grounding from cached visual + language features
         tmodel, tvars = self._trunk_model_vars(variables)
         out = tmodel.apply(tvars, rings, state.word_ids,
                            language=state.language,
+                           newest_slot=new_slot if self.rotate_rings
+                           else None,
                            method=DCNet.eval_features)
         dec = decode_best(out.outbox, cfg)
         raw_box = dec.boxes[:, 0]
@@ -283,7 +306,7 @@ class GroundingEngine:
         new_state = state._replace(
             feat_rings=rings, cache_boxes=cache_boxes,
             cache_scores=cache_scores, cache_feats=cache_feats,
-            frames_seen=state.frames_seen + 1)
+            frames_seen=state.frames_seen + 1, slot=new_slot)
         return new_state, fused_box, raw_box, raw_score
 
     # ------------------------------------------------------------------
@@ -343,7 +366,7 @@ def save_stream_state(path: str, state: StreamState) -> None:
         flat[f"language/{i}"] = storable(l)
         flat[f"language_dtype/{i}"] = np.str_(np.asarray(l).dtype.name)
     for k in ("cache_boxes", "cache_scores", "cache_feats", "frames_seen",
-              "word_ids"):
+              "word_ids", "slot"):
         flat[k] = storable(getattr(state, k))
     flat["cache_feats_dtype"] = np.str_(
         np.asarray(state.cache_feats).dtype.name)
@@ -367,12 +390,16 @@ def load_stream_state(path: str) -> StreamState:
                       key=lambda k: int(k.split("/")[1]))
         return tuple(restore(k, data[k]) for k in keys)
 
+    rings = seq("feat_rings")
     return StreamState(
-        feat_rings=seq("feat_rings"),
+        feat_rings=rings,
         cache_boxes=jnp.asarray(data["cache_boxes"]),
         cache_scores=jnp.asarray(data["cache_scores"]),
         cache_feats=restore("cache_feats", data["cache_feats"]),
         frames_seen=jnp.asarray(data["frames_seen"]),
         word_ids=jnp.asarray(data["word_ids"]),
         language=seq("language"),
+        # pre-slot checkpoints (shift layout) resume at newest == last slot
+        slot=(jnp.asarray(data["slot"], jnp.int32) if "slot" in data.files
+              else jnp.int32(rings[0].shape[1] - 1)),
     )

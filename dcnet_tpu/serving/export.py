@@ -59,6 +59,7 @@ def _state_specs(engine: GroundingEngine, language) -> StreamState:
         frames_seen=sd((n,), jnp.int32),
         word_ids=sd((n, cfg.query_len), jnp.int32),
         language=tuple(sd(x.shape, x.dtype) for x in language),
+        slot=sd((), jnp.int32),
     )
 
 
@@ -138,6 +139,7 @@ class ServingRuntime:
             frames_seen=jnp.zeros((n,), jnp.int32),
             word_ids=word_ids,
             language=self.encode_language(word_ids),
+            slot=jnp.int32(m["n_frame"] - 1),
         )
 
     def step(self, state: StreamState, frames):

@@ -68,3 +68,54 @@ def test_fused_gradients_multi_tile_accumulation():
     for a, b in zip(got, want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_center_only_matches_pair_direction1():
+    """coattention_one / coattention_center_fused == direction 1 of the
+    pair kernel (the eval/serving trunk consumes only that direction)."""
+    from dcnet_tpu.ops.pallas.coattn import (coattention_center_fused,
+                                             coattention_one)
+
+    rng = np.random.RandomState(3)
+    B, P, C = 2, 16, 8
+    f1 = jnp.asarray(rng.randn(B, P, C).astype(np.float32) * 0.3)
+    f2 = jnp.asarray(rng.randn(B, P, C).astype(np.float32) * 0.3)
+    want, _ = _reference(f1, f2, 10.0)
+    got = coattention_one(f1, f2, 10.0, True)  # interpret mode
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+    # NHWC wrapper vs the einsum center path
+    from dcnet_tpu.ops.coattention import coattention_center
+    x1 = f1.reshape(B, 4, 4, C)
+    x2 = f2.reshape(B, 4, 4, C)
+    np.testing.assert_allclose(
+        np.asarray(coattention_center_fused(x1, x2, 10.0, interpret=True)),
+        np.asarray(coattention_center(x1, x2, 10.0)),
+        rtol=1e-5, atol=1e-6)
+
+
+def test_center_only_gradients_match():
+    """The single-direction custom_vjp (used by the k>2 ring-pairing TRAIN
+    path) must match the einsum VJP of direction 1, including dkv
+    accumulation across row tiles (P > 256)."""
+    from dcnet_tpu.ops.pallas.coattn import coattention_one
+
+    rng = np.random.RandomState(4)
+    B, P, C = 1, 512, 8
+    f1 = jnp.asarray(rng.randn(B, P, C).astype(np.float32) * 0.2)
+    f2 = jnp.asarray(rng.randn(B, P, C).astype(np.float32) * 0.2)
+
+    def loss_one(a, b):
+        o = coattention_one(a, b, 10.0, True)
+        return jnp.sum(o ** 2) + jnp.sum(o * a)
+
+    def loss_ref(a, b):
+        o, _ = _reference(a, b, 10.0)
+        return jnp.sum(o ** 2) + jnp.sum(o * a)
+
+    g1 = jax.grad(loss_one, argnums=(0, 1))(f1, f2)
+    g2 = jax.grad(loss_ref, argnums=(0, 1))(f1, f2)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)

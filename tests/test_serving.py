@@ -330,3 +330,78 @@ def test_stream_state_roundtrip_resume(setup, tmp_path):
         resumed, fused_b, raw_b, _ = engine.step(resumed, frames[t])
     np.testing.assert_array_equal(np.asarray(raw_a), np.asarray(raw_b))
     np.testing.assert_array_equal(np.asarray(fused_a), np.asarray(fused_b))
+
+
+def test_rotate_rings_match_shift_rings(setup):
+    """The rotating single-slot ring write (default) must produce the same
+    predictions as the shifted-buffer layout at every step — the buffer
+    order is rotated, the temporal order read by the trunk is identical."""
+    model, variables = setup
+    rng = np.random.RandomState(7)
+    n_steps = 8
+    frames = rng.rand(n_steps, 2, 64, 64, 3).astype(np.float32)
+    word_ids = rng.randint(1, 50, (2, 20)).astype(np.int32)
+
+    rot = GroundingEngine(model, variables, CFG, n_streams=2, n_frame=5,
+                          topk=3, fuse_window=3, donate_state=False,
+                          rotate_rings=True)
+    shf = GroundingEngine(model, variables, CFG, n_streams=2, n_frame=5,
+                          topk=3, fuse_window=3, donate_state=False,
+                          rotate_rings=False)
+    s_rot = rot.init_state(word_ids)
+    s_shf = shf.init_state(word_ids)
+    for t in range(n_steps):
+        s_rot, f_rot, r_rot, sc_rot = rot.step(s_rot, frames[t])
+        s_shf, f_shf, r_shf, sc_shf = shf.step(s_shf, frames[t])
+        np.testing.assert_allclose(np.asarray(r_rot), np.asarray(r_shf),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(f_rot), np.asarray(f_shf),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(sc_rot), np.asarray(sc_shf),
+                                   rtol=1e-5, atol=1e-6)
+    # ring CONTENTS are a rotation of each other: same frame set
+    got = np.sort(np.asarray(s_rot.feat_rings[0]).ravel())
+    want = np.sort(np.asarray(s_shf.feat_rings[0]).ravel())
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_stream_state_loads_pre_slot_checkpoint(setup, tmp_path):
+    """Round-3 .npz stream states have no `slot` entry; loading must
+    default to newest==last (the shift layout's invariant) so old
+    checkpoints resume correctly on a rotate-mode engine."""
+    import os
+
+    from dcnet_tpu.serving.engine import (load_stream_state,
+                                          save_stream_state)
+
+    model, variables = setup
+    rng = np.random.RandomState(8)
+    word_ids = rng.randint(1, 50, (1, 20)).astype(np.int32)
+    engine = GroundingEngine(model, variables, CFG, n_streams=1, n_frame=5,
+                             topk=3, fuse_window=3, donate_state=False,
+                             rotate_rings=False)  # shift layout writer
+    state = engine.init_state(word_ids)
+    for t in range(5):
+        state, *_ = engine.step(
+            state, rng.rand(1, 64, 64, 3).astype(np.float32))
+
+    path = os.path.join(tmp_path, "state.npz")
+    save_stream_state(path, state)
+    # simulate a round-3 checkpoint: strip the slot entry
+    data = dict(np.load(path))
+    data.pop("slot")
+    np.savez(path, **data)
+
+    resumed = load_stream_state(path)
+    assert int(resumed.slot) == 4  # newest == last slot
+    # stepping the resumed state on a rotate engine matches continuing
+    # the original shift engine (the first rotate write replaces slot 0
+    # = the oldest frame, preserving temporal order)
+    rot = GroundingEngine(model, variables, CFG, n_streams=1, n_frame=5,
+                          topk=3, fuse_window=3, donate_state=False,
+                          rotate_rings=True)
+    nxt = rng.rand(1, 64, 64, 3).astype(np.float32)
+    _, _, raw_rot, _ = rot.step(resumed, nxt)
+    _, _, raw_shf, _ = engine.step(state, nxt)
+    np.testing.assert_allclose(np.asarray(raw_rot), np.asarray(raw_shf),
+                               rtol=1e-5, atol=1e-5)
