@@ -157,6 +157,7 @@ def test_quant_eval_cli_smoke(tmp_path, monkeypatch):
     assert np.isfinite(acc) and np.isfinite(miou)
 
 
+@pytest.mark.heavy
 def test_train_cli_one_step(tmp_path, monkeypatch):
     """Full train CLI path end to end: one optimizer step + validation +
     checkpoint write on generated data."""

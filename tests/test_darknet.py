@@ -117,6 +117,7 @@ def test_small_net_matches_torch(tmp_path):
             np.asarray(f).transpose(0, 3, 1, 2), r, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.heavy
 def test_full_yolov3_against_torch(tmp_path):
     defs = yolov3_layer_defs()
     wpath = str(tmp_path / "yolo.weights")

@@ -51,6 +51,7 @@ def test_train_forward_shapes(model_and_vars):
         assert float(jnp.min(s)) >= 0.0 and float(jnp.max(s)) <= 1.0 + 1e-5
 
 
+@pytest.mark.heavy
 def test_loss_and_gradients(model_and_vars):
     model, variables, images, word_ids = model_and_vars
     rng = np.random.RandomState(1)
@@ -187,6 +188,7 @@ def test_kframe_train_forward_ring():
             rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.heavy
 def test_kframe_train_step_end_to_end():
     """Full k=3 train step: finite 5-loss sum, params update."""
     import dataclasses

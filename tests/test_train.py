@@ -121,6 +121,7 @@ def test_eval_step(state_and_model):
         assert 0.0 <= v <= 1.0
 
 
+@pytest.mark.heavy
 def test_train_step_data_parallel(state_and_model, devices):
     """Same math when the batch is sharded over the 8-device mesh."""
     from dcnet_tpu.parallel import make_mesh, replicate_state, shard_batch
@@ -150,6 +151,7 @@ def test_train_step_data_parallel(state_and_model, devices):
     assert all(jax.tree_util.tree_leaves(finite))
 
 
+@pytest.mark.heavy
 def test_train_step_tensor_parallel(devices):
     """2-D (data=4, model=2) mesh with the internal Gram/attention matrices
     sharded over 'model': same loss as the unsharded layout."""
