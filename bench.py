@@ -45,6 +45,12 @@ def main():
                     help="A/B: serving/train step WITHOUT state-buffer "
                          "donation (production donates rings / optimizer "
                          "state)")
+    ap.add_argument("--xla_opt", action="append", default=[],
+                    metavar="KEY=VAL",
+                    help="XLA compiler option for the --train step, passed "
+                         "via PJRT compile (axon rejects TPU flags in "
+                         "XLA_FLAGS). E.g. "
+                         "--xla_opt xla_tpu_scoped_vmem_limit_kib=65536")
     ap.add_argument("--shift_rings", action="store_true",
                     help="A/B: serving feature rings as a shifted buffer "
                          "(the pre-round-4 layout) instead of the rotating "
@@ -280,6 +286,16 @@ def main():
         # production config donates the state pytree (train/step.py);
         # --no_donate preserves the non-aliased A/B
         step_fn = train_step if args.no_donate else train_step_donated
+        if args.xla_opt:
+            # axon rejects TPU flags in XLA_FLAGS (parsed client-side);
+            # compiler_options ride the PJRT compile call instead
+            opts = dict(kv.split("=", 1) for kv in args.xla_opt)
+            compiled = step_fn.lower(model, cfg, state, batch,
+                                     jax.random.PRNGKey(1)).compile(
+                compiler_options=opts)
+
+            def step_fn(model_, cfg_, state_, batch_, key_):
+                return compiled(state_, batch_, key_)
 
         def run_train(n, state):
             t0 = time.perf_counter()
