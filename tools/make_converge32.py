@@ -73,7 +73,7 @@ def train() -> None:
     tmod.build_dataset = patched_build_dataset
     tmod.main([
         "--synthetic", "--lstm", "--mini", "--size", "64",
-        "--batch_size", "8", "--nb_epoch", "30",
+        "--batch_size", "8", "--nb_epoch", "30", "--auto_resume",
         "--seed", str(SEED), "--savename", SAVENAME,
     ])
 
@@ -89,7 +89,7 @@ def train_bert() -> None:
     tmod.main([
         "--synthetic", "--mini", "--size", "64",
         "--bert_model", "bert-mini",
-        "--batch_size", "8", "--nb_epoch", "30",
+        "--batch_size", "8", "--nb_epoch", "30", "--auto_resume",
         "--seed", str(SEED), "--savename", BERT_SAVENAME,
     ])
 
