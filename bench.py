@@ -51,6 +51,10 @@ def main():
                          "via PJRT compile (axon rejects TPU flags in "
                          "XLA_FLAGS). E.g. "
                          "--xla_opt xla_tpu_scoped_vmem_limit_kib=65536")
+    ap.add_argument("--no_split_corr", action="store_true",
+                    help="A/B: eval/serving corr_conv as the naive "
+                         "per-reference concat conv instead of hoisting "
+                         "the shared center half (cfg.split_corr_conv)")
     ap.add_argument("--shift_rings", action="store_true",
                     help="A/B: serving feature rings as a shifted buffer "
                          "(the pre-round-4 layout) instead of the rotating "
@@ -174,6 +178,7 @@ def main():
         compute_dtype="bfloat16" if dtype == jnp.bfloat16 else "float32",
         n_frames_train=args.frames, remat_backbone=args.remat,
         use_fused_coattn=not args.no_fused_coattn,
+        split_corr_conv=not args.no_split_corr,
         interframe_top_k=min(30, (size // 32) ** 4),
         interframe_neg_n=min(10, (size // 32) ** 2 - 1),
         crossmodal_neg_n=min(5, (size // 32) ** 2 - 1))
@@ -391,6 +396,7 @@ def main():
                           (max(vals) - min(vals)) / fps * 100, 1),
                       "donate_state": not args.no_donate,
                       "rotate_rings": not args.shift_rings,
+                      "split_corr_conv": not args.no_split_corr,
                       "quant_int8_backbone": bool(args.quant),
                       "quant_int8_trunk": bool(args.quant
                                                and args.quant_trunk),
@@ -500,6 +506,7 @@ def main():
             "quant_int8_backbone": bool(args.quant),
             "quant_int8_trunk": bool(args.quant and args.quant_trunk),
             "int8_chain": bool(args.quant and args.int8_chain),
+            "split_corr_conv": not args.no_split_corr,
             "encoder": ("bert-base-uncased (frozen)" if args.bert_eval
                         else "BiLSTM"),
             "device": str(jax.devices()[0].platform),

@@ -116,6 +116,13 @@ class DCNetConfig:
                                     # for sharding over a 'model' mesh axis
     remat_backbone: bool = False    # rematerialize backbone activations
                                     # in backward (HBM for FLOPs trade)
+    split_corr_conv: bool = True    # eval_features: hoist the center half
+                                    # of the corr_conv 1x1 contraction
+                                    # across the n_frame-1 references
+                                    # (exact in int8, fp add-order noise in
+                                    # float; see heads.QuantConv2D). False
+                                    # = the naive per-reference concat conv
+                                    # (A/B: bench --no_split_corr)
     trunk_quant: str = "off"        # static-scale int8 PTQ of the trunk
                                     # convs (mapping_visu/corr_conv/fcn —
                                     # the ~20% of the eval step the int8

@@ -388,17 +388,26 @@ class DCNet(nn.Module):
                 return jax.lax.dynamic_index_in_dim(
                     per_frame[i], phys, axis=1, keepdims=False)
 
-        # Per-reference loop, q = the same center block each time (batching
-        # the refs into one call requires materializing n_ref copies of the
-        # center features for the attention kernel, which measured slower).
+        # Per-reference co-attention, q = the same center block each time
+        # (batching the refs into one attention call requires materializing
+        # n_ref copies of the center features, which measured slower). The
+        # corr_conv uses the split-input form: the center half of the 1x1
+        # contraction is shared across references and computed once —
+        # (n_ref-1)/(2 n_ref) fewer corr_conv FLOPs, exact in int8 and
+        # within fp add-order noise in float (see QuantConv2D).
         corr_feat = []
         for i in range(3):
             cen = frame(i, center)
+            atts = [self._coattn_center(cen, frame(i, idx))
+                    for idx in ref_idx]
+            if cfg.split_corr_conv:
+                cfs = self.corr_conv[i]((cen, atts), train)
+            else:  # A/B baseline: per-reference concat conv
+                cfs = [self.corr_conv[i](
+                    jnp.concatenate([cen, a], axis=-1), train)
+                    for a in atts]
             acc = None
-            for idx in ref_idx:
-                att = self._coattn_center(cen, frame(i, idx))
-                cf = self.corr_conv[i](
-                    jnp.concatenate([cen, att], axis=-1), train)
+            for cf in cfs:
                 cf = l2_normalize(cf, axis=-1)
                 acc = cf if acc is None else acc + cf
             corr_feat.append(acc / n_ref)

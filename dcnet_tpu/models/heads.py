@@ -45,6 +45,19 @@ class QuantConv2D(nn.Module):
       previous layer's epilogue, no runtime max-reduce). The s8xs8->s32
       conv rides the v5e MXU int path at 2x bf16 peak; the dequant is a
       per-channel fp32 scale XLA folds into the following BN affine.
+
+    Split input (`x = (shared, [part_0, ..., part_{R-1}])`): evaluates the
+    conv on R concatenations `[shared, part_r]` while computing the shared
+    half's contraction ONCE — `W @ concat(s, p) = W_s @ s + W_p @ p` with
+    `W_s = kernel[..., :C_s, :]`. The kernel param keeps the single
+    (1, 1, C_s + C_p, out) concat shape, so checkpoints/bridges are
+    unaffected. Used by DCNet.eval_features, where corr_conv consumes the
+    SAME center features against n_frame-1 attended reference maps
+    (test_DCNet_model.py:303-332): the center half of the contraction is
+    (R-1)/(2R) of the corr_conv FLOPs, recomputed R times by the naive
+    loop. int8 mode quantizes both halves with the concat-calibrated
+    act scale and sums in int32 — bit-identical to the concat conv.
+    1x1/stride-1 only. Returns a list of R outputs.
     """
 
     features: int
@@ -54,35 +67,61 @@ class QuantConv2D(nn.Module):
     mode: str = "off"  # off | calib | int8 (cfg.trunk_quant)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x) -> jnp.ndarray:
+        split = isinstance(x, tuple)
+        if split:
+            shared, parts = x
+            assert self.kernel == 1 and self.stride == 1, \
+                "split-input QuantConv2D is 1x1/stride-1 only (corr_conv)"
+            c_s = shared.shape[-1]
+            in_ch = c_s + parts[0].shape[-1]
+        else:
+            in_ch = x.shape[-1]
         pad = (self.kernel - 1) // 2
         w = self.param("kernel", nn.initializers.lecun_normal(),
-                       (self.kernel, self.kernel, x.shape[-1], self.features),
+                       (self.kernel, self.kernel, in_ch, self.features),
                        jnp.float32)
         dn = ("NHWC", "HWIO", "NHWC")
         strides = (self.stride, self.stride)
         padding = [(pad, pad), (pad, pad)]
+
+        def conv(inp, ker, acc_t=None):
+            return jax.lax.conv_general_dilated(
+                inp, ker, strides, padding, dimension_numbers=dn,
+                **({"preferred_element_type": acc_t} if acc_t else {}))
+
         if self.mode in ("calib", "int8"):
             amax = self.variable("quant", "act_max",
                                  lambda: jnp.zeros((), jnp.float32))
         if self.mode == "calib" and not self.is_initializing():
-            amax.value = jnp.maximum(
-                amax.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+            pieces = [shared, *parts] if split else [x]
+            m = jnp.max(jnp.stack(
+                [jnp.max(jnp.abs(p.astype(jnp.float32))) for p in pieces]))
+            amax.value = jnp.maximum(amax.value, m)
         if self.mode == "int8" and not self.is_initializing():
             w32 = w.astype(jnp.float32)
             s_w = jnp.maximum(jnp.max(jnp.abs(w32), axis=(0, 1, 2)),
                               1e-12) / 127.0
             s_in = jnp.maximum(amax.value, 1e-12) / 127.0
-            xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_in),
-                          -127, 127).astype(jnp.int8)
+
+            def quant(a):
+                return jnp.clip(jnp.round(a.astype(jnp.float32) / s_in),
+                                -127, 127).astype(jnp.int8)
+
             wq = jnp.clip(jnp.round(w32 / s_w), -127, 127).astype(jnp.int8)
-            y = jax.lax.conv_general_dilated(
-                xq, wq, strides, padding, dimension_numbers=dn,
-                preferred_element_type=jnp.int32)
-            return y.astype(jnp.float32) * (s_in * s_w)
-        return jax.lax.conv_general_dilated(
-            x.astype(self.dtype), w.astype(self.dtype), strides, padding,
-            dimension_numbers=dn)
+            if split:
+                y_s = conv(quant(shared), wq[:, :, :c_s], jnp.int32)
+                return [(y_s + conv(quant(p), wq[:, :, c_s:], jnp.int32)
+                         ).astype(jnp.float32) * (s_in * s_w)
+                        for p in parts]
+            return conv(quant(x), wq, jnp.int32
+                        ).astype(jnp.float32) * (s_in * s_w)
+        wd = w.astype(self.dtype)
+        if split:
+            y_s = conv(shared.astype(self.dtype), wd[:, :, :c_s])
+            return [y_s + conv(p.astype(self.dtype), wd[:, :, c_s:])
+                    for p in parts]
+        return conv(x.astype(self.dtype), wd)
 
 
 class ConvBNReLU(nn.Module):
@@ -101,20 +140,30 @@ class ConvBNReLU(nn.Module):
     quant: str = "off"  # cfg.trunk_quant, see QuantConv2D
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x, train: bool = False):
+        """x: NHWC array, or a `(shared, [parts...])` split input (eval
+        only — see QuantConv2D); the split form returns a list."""
+        split = isinstance(x, tuple)
+        assert not (split and train), \
+            "split ConvBNReLU input is an eval-path optimization"
         x = QuantConv2D(self.features, self.kernel, self.stride,
                         dtype=self.dtype, mode="off" if train else self.quant,
                         name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.001,
-                         epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
-        if self.dtype != jnp.float32:
-            # BN math fp32, stored activation in the compute dtype
-            x = x.astype(self.dtype)
-        if self.leaky:
-            x = nn.leaky_relu(x, negative_slope=0.1)
-        elif self.relu:
-            x = nn.relu(x)
-        return x
+        bn = nn.BatchNorm(use_running_average=not train, momentum=0.001,
+                          epsilon=1e-5, dtype=jnp.float32, name="bn")
+
+        def finish(y):
+            y = bn(y)
+            if self.dtype != jnp.float32:
+                # BN math fp32, stored activation in the compute dtype
+                y = y.astype(self.dtype)
+            if self.leaky:
+                y = nn.leaky_relu(y, negative_slope=0.1)
+            elif self.relu:
+                y = nn.relu(y)
+            return y
+
+        return [finish(y) for y in x] if split else finish(x)
 
 
 class DenseBNReLU(nn.Module):

@@ -217,3 +217,61 @@ def test_kframe_train_step_end_to_end():
     before = np.asarray(state.params["fcn_0"]["out1"]["kernel"])
     after = np.asarray(new_state.params["fcn_0"]["out1"]["kernel"])
     assert not np.allclose(before, after)
+
+
+def test_split_corr_conv_matches_concat_float():
+    """ConvBNReLU's split input form — (center, [att_r]) with the center
+    half of the 1x1 contraction hoisted across references (the
+    eval_features corr_conv optimization) — matches the plain concat conv
+    on the same params, per reference."""
+    from dcnet_tpu.models.heads import ConvBNReLU
+
+    rng = np.random.RandomState(3)
+    cen = jnp.asarray(rng.randn(2, 8, 8, 16).astype(np.float32))
+    atts = [jnp.asarray(rng.randn(2, 8, 8, 16).astype(np.float32))
+            for _ in range(4)]
+    mod = ConvBNReLU(24, 1)
+    variables = mod.init(jax.random.PRNGKey(0),
+                         jnp.concatenate([cen, atts[0]], -1), train=False)
+    concat_out = [mod.apply(variables, jnp.concatenate([cen, a], -1),
+                            train=False) for a in atts]
+    split_out = mod.apply(variables, (cen, atts), train=False)
+    assert len(split_out) == len(atts)
+    for c, s in zip(concat_out, split_out):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(s),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_split_corr_conv_matches_concat_int8():
+    """The int8 split path quantizes both halves with the concat-calibrated
+    scale and accumulates in int32 — BIT-identical to the concat int8 conv,
+    and the calibration itself records the same act_max either way."""
+    from dcnet_tpu.models.heads import ConvBNReLU
+
+    rng = np.random.RandomState(4)
+    cen = jnp.asarray(rng.randn(2, 8, 8, 16).astype(np.float32))
+    atts = [jnp.asarray(rng.randn(2, 8, 8, 16).astype(np.float32))
+            for _ in range(3)]
+    calib = ConvBNReLU(24, 1, quant="calib")
+    variables = calib.init(jax.random.PRNGKey(0),
+                           jnp.concatenate([cen, atts[0]], -1), train=False)
+    qcols = []
+    for via_split in (False, True):
+        qcol = {}
+        for a in ([atts] if via_split else atts):
+            x = (cen, a) if via_split else jnp.concatenate([cen, a], -1)
+            _, mut = calib.apply({**variables, **qcol}, x, train=False,
+                                 mutable=["quant"])
+            qcol = {"quant": mut["quant"]}
+        qcols.append(qcol["quant"])
+    np.testing.assert_array_equal(
+        np.asarray(qcols[0]["conv"]["act_max"]),
+        np.asarray(qcols[1]["conv"]["act_max"]))
+
+    i8 = ConvBNReLU(24, 1, quant="int8")
+    v8 = {**variables, "quant": qcols[0]}
+    concat_out = [i8.apply(v8, jnp.concatenate([cen, a], -1), train=False)
+                  for a in atts]
+    split_out = i8.apply(v8, (cen, atts), train=False)
+    for c, s in zip(concat_out, split_out):
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(s))
