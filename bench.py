@@ -346,7 +346,11 @@ def main():
         engine = GroundingEngine(model, variables, cfg, n_streams=n_streams,
                                  n_frame=n_frame, topk=5, fuse_window=5,
                                  donate_state=not args.no_donate,
-                                 rotate_rings=not args.shift_rings)
+                                 rotate_rings=not args.shift_rings,
+                                 compiler_options=(
+                                     dict(kv.split("=", 1)
+                                          for kv in args.xla_opt)
+                                     if args.xla_opt else None))
         if args.quant:
             if args.quant_trunk is None:
                 args.quant_trunk = True  # matches engine.quantize default
@@ -471,6 +475,17 @@ def main():
                               method=DCNetCls.eval_clip)
             dec = decode_best(out.outbox, cfg)
             return dec.boxes, jnp.sum(dec.score)
+
+    if args.xla_opt:
+        # same PJRT-compile route as the train path (axon rejects TPU
+        # flags in XLA_FLAGS): AOT-compile the eval step with the options
+        opts = dict(kv.split("=", 1) for kv in args.xla_opt)
+        compiled_step = step.lower(
+            variables, images, word_ids,
+            jnp.float32(0)).compile(compiler_options=opts)
+
+        def step(v, im, w, c):  # noqa: F811 — intentional rebind
+            return compiled_step(v, im, w, c)
 
     def run(n):
         carry = jnp.float32(0)

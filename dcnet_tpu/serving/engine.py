@@ -52,7 +52,8 @@ class GroundingEngine:
     def __init__(self, model: DCNet, variables, cfg: DCNetConfig,
                  n_streams: int, n_frame: int = 5, topk: int = 5,
                  fuse_window: int = 5, mesh=None,
-                 donate_state: bool = True, rotate_rings: bool = True):
+                 donate_state: bool = True, rotate_rings: bool = True,
+                 compiler_options=None):
         self.model = model
         self.variables = variables
         self.cfg = cfg
@@ -86,12 +87,20 @@ class GroundingEngine:
         self.qparams = None
         self.trunk_qcol = None   # trunk PTQ scales (baked as constants)
         self._qmodel = None      # cfg.trunk_quant="int8" model variant
+        # XLA compiler options for the step executable (e.g.
+        # xla_tpu_scoped_vmem_limit_kib). The axon deployment rejects TPU
+        # flags in XLA_FLAGS (parsed client-side), so options must ride
+        # the PJRT compile call — which means AOT lower/compile on first
+        # step() instead of plain jit dispatch.
+        self.compiler_options = (dict(compiler_options)
+                                 if compiler_options else None)
         self._step = self._jit_step()
         self._encode_lang = jax.jit(
             lambda v, ids: self.model.apply(v, ids,
                                             method=DCNet.encode_language))
 
     def _jit_step(self):
+        self._step_aot = None  # any re-jit invalidates the AOT executable
         kw = {"donate_argnums": (1,)} if self.donate_state else {}
         return jax.jit(self._step_impl, **kw)
 
@@ -321,7 +330,17 @@ class GroundingEngine:
             from dcnet_tpu.parallel.mesh import batch_sharding
             sh = batch_sharding(self.mesh)
             frames = jax.device_put(jnp.asarray(frames), sh)
-        return self._step(self.variables, state, jnp.asarray(frames))
+        frames = jnp.asarray(frames)
+        if self.compiler_options:
+            key = (frames.shape, str(frames.dtype),
+                   tuple((l.shape, str(l.dtype))
+                         for l in jax.tree_util.tree_leaves(state)))
+            if self._step_aot is None or self._step_aot[0] != key:
+                self._step_aot = (key, self._step.lower(
+                    self.variables, state, frames).compile(
+                        compiler_options=self.compiler_options))
+            return self._step_aot[1](self.variables, state, frames)
+        return self._step(self.variables, state, frames)
 
 
 def cast_params_for_serving(variables, dtype=None):

@@ -405,3 +405,37 @@ def test_stream_state_loads_pre_slot_checkpoint(setup, tmp_path):
     _, _, raw_shf, _ = engine.step(state, nxt)
     np.testing.assert_allclose(np.asarray(raw_rot), np.asarray(raw_shf),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_compiler_options_aot_step_matches_jit(setup):
+    """compiler_options routes the step through AOT lower/compile (the
+    axon deployment rejects TPU flags in XLA_FLAGS, so options like
+    xla_tpu_scoped_vmem_limit_kib must ride the PJRT compile call).
+    The AOT executable must be cached across steps and bit-match the
+    plain jit engine."""
+    model, variables = setup
+    rng = np.random.RandomState(11)
+    word_ids = rng.randint(1, 50, (2, 20)).astype(np.int32)
+    frames = [rng.rand(2, 64, 64, 3).astype(np.float32) for _ in range(3)]
+
+    # xla_backend_optimization_level is accepted by every backend; the
+    # real deployments pass TPU-only options here
+    aot = GroundingEngine(model, variables, CFG, n_streams=2, n_frame=3,
+                          topk=3, fuse_window=3,
+                          compiler_options={
+                              "xla_backend_optimization_level": "1"})
+    plain = GroundingEngine(model, variables, CFG, n_streams=2, n_frame=3,
+                            topk=3, fuse_window=3)
+    sa, sp = aot.init_state(word_ids), plain.init_state(word_ids)
+    for f in frames:
+        sa, fa, ra, _ = aot.step(sa, f)
+        sp, fp, rp, _ = plain.step(sp, f)
+    assert aot._step_aot is not None
+    exe = aot._step_aot[1]
+    sa, fa, ra, _ = aot.step(sa, frames[0])
+    sp, fp, rp, _ = plain.step(sp, frames[0])
+    assert aot._step_aot[1] is exe  # cached, not recompiled
+    np.testing.assert_allclose(np.asarray(fa), np.asarray(fp),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ra), np.asarray(rp),
+                               rtol=1e-5, atol=1e-5)
