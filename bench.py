@@ -531,7 +531,8 @@ def main():
 
 def bench_serving_breakdown(args, engine, frames, sids, iters, size, dtype):
     """Stage-time breakdown of the serving step via nested-prefix programs:
-    A = backbone extract only; B = A + ring shift; C = B + trunk
+    A = backbone extract only; B = A + ring shift; C1 = B + correspondence
+    (co-attention + corr_conv, via DCNet.corr_features); C = B + full trunk
     (eval_features + decode); D = the full step (C + top-k cache + fusion).
     Stage shares = successive differences — the serving analog of the
     train-step backbone/trunk breakdown (BENCH_NOTES)."""
@@ -564,6 +565,17 @@ def bench_serving_breakdown(args, engine, frames, sids, iters, size, dtype):
         _, rings = _update_rings(state, feats)
         return sum(jnp.sum(r.astype(jnp.float32)) for r in rings)
 
+    def stage_corr(variables, state, frames, carry):
+        # prefix C1: + correspondence (co-attention + corr_conv) only —
+        # times the corr half of the trunk separately from fusion/heads
+        feats = engine._extract(variables, frames + carry * 0.0)
+        new_slot, rings = _update_rings(state, feats)
+        tmodel, tvars = engine._trunk_model_vars(variables)
+        cf = tmodel.apply(tvars, rings, newest_slot=new_slot,
+                          method=DCNetCls.corr_features)
+        return (sum(jnp.sum(c.astype(jnp.float32)) for c in cf)
+                + sum(jnp.sum(r.astype(jnp.float32)) for r in rings))
+
     def stage_trunk(variables, state, frames, carry):
         feats = engine._extract(variables, frames + carry * 0.0)
         new_slot, rings = _update_rings(state, feats)
@@ -585,8 +597,10 @@ def bench_serving_breakdown(args, engine, frames, sids, iters, size, dtype):
                       for r in new_state.feat_rings)
                 + jnp.sum(new_state.cache_scores))
 
-    names = ["extract", "ring_shift", "trunk", "cache_fusion"]
-    stages = [stage_extract, stage_rings, stage_trunk, stage_full]
+    names = ["extract", "ring_shift", "corr", "fusion_heads",
+             "cache_fusion"]
+    stages = [stage_extract, stage_rings, stage_corr, stage_trunk,
+              stage_full]
     times = []
     for fn in stages:
         step = jax.jit(fn)
@@ -606,7 +620,7 @@ def bench_serving_breakdown(args, engine, frames, sids, iters, size, dtype):
         times.append(max((t_long - t_short) / (iters - n_short), 1e-9))
 
     shares = {"extract_ms": times[0] * 1e3}
-    for i in range(1, 4):
+    for i in range(1, len(names)):
         shares[names[i] + "_ms"] = (times[i] - times[i - 1]) * 1e3
     print(json.dumps({
         "metric": "serving_step_breakdown_full_step_ms",

@@ -355,24 +355,18 @@ class DCNet(nn.Module):
         frame). Returns (flang, context, embedded)."""
         return self._language(word_ids, train)
 
-    def eval_features(self, per_frame: Sequence[jnp.ndarray],
-                      word_ids: jnp.ndarray, center: Optional[int] = None,
-                      train: bool = False, language=None,
-                      newest_slot=None) -> EvalOutputs:
-        """Trunk over pre-extracted per-frame features.
+    def corr_features(self, per_frame: Sequence[jnp.ndarray],
+                      center: Optional[int] = None, train: bool = False,
+                      newest_slot=None) -> List[jnp.ndarray]:
+        """Correspondence stage in isolation: center-vs-each-reference
+        co-attention + corr_conv, l2-normalized and averaged over the
+        references (test_DCNet_model.py:303-332). Split out of
+        eval_features so the serving breakdown bench can time co-attention
+        + corr_conv separately from fusion/heads.
 
         per_frame: per scale (B, n_frame, h, w, C) mapped+normalized
-        features; word_ids (B, L). Center-vs-each-reference co-attention,
-        corr_conv, averaged (test_DCNet_model.py:303-332). Pass `language`
-        = (flang, context, embedded) to skip the text encoder.
-
-        newest_slot: optional traced () int32 — the serving engine's
-        rotating ring stores frames in modular order (newest at
-        `newest_slot`, oldest right after it) instead of shifting the
-        buffer each tick. Frame at temporal position j (0 = oldest) lives
-        at physical index (newest_slot + 1 + j) mod n_frame; slices are
-        read by dynamic index, so one compiled program serves every slot
-        value. None = physical order IS temporal order (offline eval)."""
+        features; see eval_features for the `newest_slot` rotating-ring
+        indexing convention (None = physical order is temporal order)."""
         cfg = self.cfg
         n_frame = per_frame[0].shape[1]
         center = n_frame // 2 if center is None else center
@@ -411,6 +405,28 @@ class DCNet(nn.Module):
                 cf = l2_normalize(cf, axis=-1)
                 acc = cf if acc is None else acc + cf
             corr_feat.append(acc / n_ref)
+        return corr_feat
+
+    def eval_features(self, per_frame: Sequence[jnp.ndarray],
+                      word_ids: jnp.ndarray, center: Optional[int] = None,
+                      train: bool = False, language=None,
+                      newest_slot=None) -> EvalOutputs:
+        """Trunk over pre-extracted per-frame features.
+
+        per_frame: per scale (B, n_frame, h, w, C) mapped+normalized
+        features; word_ids (B, L). Center-vs-each-reference co-attention,
+        corr_conv, averaged (test_DCNet_model.py:303-332). Pass `language`
+        = (flang, context, embedded) to skip the text encoder.
+
+        newest_slot: optional traced () int32 — the serving engine's
+        rotating ring stores frames in modular order (newest at
+        `newest_slot`, oldest right after it) instead of shifting the
+        buffer each tick. Frame at temporal position j (0 = oldest) lives
+        at physical index (newest_slot + 1 + j) mod n_frame; slices are
+        read by dynamic index, so one compiled program serves every slot
+        value. None = physical order IS temporal order (offline eval)."""
+        corr_feat = self.corr_features(per_frame, center=center,
+                                       train=train, newest_slot=newest_slot)
 
         if language is None:
             language = self._language(word_ids, train)
