@@ -51,6 +51,15 @@ def main():
                          "via PJRT compile (axon rejects TPU flags in "
                          "XLA_FLAGS). E.g. "
                          "--xla_opt xla_tpu_scoped_vmem_limit_kib=65536")
+    ap.add_argument("--coattn_batch_refs", action="store_true",
+                    help="A/B: eval/serving co-attention over all "
+                         "references in ONE dot_general "
+                         "(cfg.coattn_batch_refs) instead of the "
+                         "per-reference loop")
+    ap.add_argument("--coattn_int8", action="store_true",
+                    help="A/B: eval/serving co-attention QK logits on the "
+                         "int8 MXU path (cfg.coattn_int8_logits; static "
+                         "1/127 scale — inputs are l2-normalized)")
     ap.add_argument("--no_split_corr", action="store_true",
                     help="A/B: eval/serving corr_conv as the naive "
                          "per-reference concat conv instead of hoisting "
@@ -179,6 +188,8 @@ def main():
         n_frames_train=args.frames, remat_backbone=args.remat,
         use_fused_coattn=not args.no_fused_coattn,
         split_corr_conv=not args.no_split_corr,
+        coattn_batch_refs=args.coattn_batch_refs,
+        coattn_int8_logits=args.coattn_int8,
         interframe_top_k=min(30, (size // 32) ** 4),
         interframe_neg_n=min(10, (size // 32) ** 2 - 1),
         crossmodal_neg_n=min(5, (size // 32) ** 2 - 1))
@@ -401,6 +412,8 @@ def main():
                       "donate_state": not args.no_donate,
                       "rotate_rings": not args.shift_rings,
                       "split_corr_conv": not args.no_split_corr,
+                      "coattn_batch_refs": args.coattn_batch_refs,
+                      "coattn_int8": args.coattn_int8,
                       "quant_int8_backbone": bool(args.quant),
                       "quant_int8_trunk": bool(args.quant
                                                and args.quant_trunk),
@@ -522,6 +535,8 @@ def main():
             "quant_int8_trunk": bool(args.quant and args.quant_trunk),
             "int8_chain": bool(args.quant and args.int8_chain),
             "split_corr_conv": not args.no_split_corr,
+            "coattn_batch_refs": args.coattn_batch_refs,
+            "coattn_int8": args.coattn_int8,
             "encoder": ("bert-base-uncased (frozen)" if args.bert_eval
                         else "BiLSTM"),
             "device": str(jax.devices()[0].platform),

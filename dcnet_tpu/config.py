@@ -116,6 +116,18 @@ class DCNetConfig:
                                     # for sharding over a 'model' mesh axis
     remat_backbone: bool = False    # rematerialize backbone activations
                                     # in backward (HBM for FLOPs trade)
+    coattn_batch_refs: bool = False  # eval/serving corr stage: one batched
+                                    # dot_general over all references
+                                    # (ops.coattention_center_batched)
+                                    # instead of the per-reference loop
+                                    # (A/B: bench --coattn_batch_refs)
+    coattn_int8_logits: bool = False  # eval/serving co-attention QK logits
+                                    # on the int8 MXU path; static scale
+                                    # 1/127 is exact-bound because mapped
+                                    # features are l2-normalized (no
+                                    # calibration). Opt-in pending the
+                                    # accuracy-lock A/B
+                                    # (bench --coattn_int8)
     split_corr_conv: bool = True    # eval_features: hoist the center half
                                     # of the corr_conv 1x1 contraction
                                     # across the n_frame-1 references

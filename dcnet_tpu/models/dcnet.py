@@ -34,7 +34,9 @@ from dcnet_tpu.models.heads import (
     tile_language,
 )
 from dcnet_tpu.models.lstm import BiLSTMEncoder
-from dcnet_tpu.ops.coattention import coattention_center, coattention_pair
+from dcnet_tpu.ops.coattention import (
+    coattention_center, coattention_center_batched, coattention_pair,
+)
 from dcnet_tpu.ops.coords import generate_coord
 from dcnet_tpu.ops.correspondence import (
     ContrastiveSamples, crossmodal_pairs, interframe_pairs,
@@ -392,19 +394,40 @@ class DCNet(nn.Module):
         corr_feat = []
         for i in range(3):
             cen = frame(i, center)
-            atts = [self._coattn_center(cen, frame(i, idx))
+            if cfg.coattn_batch_refs:
+                # one dot_general over all references; atts stays STACKED
+                # (B, R, h, w, C) through the split corr_conv
+                refs = jnp.stack([frame(i, idx) for idx in ref_idx], axis=1)
+                atts = coattention_center_batched(
+                    cen, refs, cfg.coattn_temperature,
+                    int8_logits=cfg.coattn_int8_logits)
+            elif cfg.coattn_int8_logits:
+                # int8 QK logits on the einsum path (the Pallas kernel is
+                # float-only; gradients don't flow here — eval/serving only)
+                atts = [coattention_center(
+                    cen, frame(i, idx), cfg.coattn_temperature,
+                    tp_shard=cfg.tp_internals, int8_logits=True)
                     for idx in ref_idx]
+            else:
+                atts = [self._coattn_center(cen, frame(i, idx))
+                        for idx in ref_idx]
             if cfg.split_corr_conv:
                 cfs = self.corr_conv[i]((cen, atts), train)
             else:  # A/B baseline: per-reference concat conv
+                if cfg.coattn_batch_refs:
+                    atts = [atts[:, j] for j in range(n_ref)]
                 cfs = [self.corr_conv[i](
                     jnp.concatenate([cen, a], axis=-1), train)
                     for a in atts]
-            acc = None
-            for cf in cfs:
-                cf = l2_normalize(cf, axis=-1)
-                acc = cf if acc is None else acc + cf
-            corr_feat.append(acc / n_ref)
+            if isinstance(cfs, list):
+                acc = None
+                for cf in cfs:
+                    cf = l2_normalize(cf, axis=-1)
+                    acc = cf if acc is None else acc + cf
+                corr_feat.append(acc / n_ref)
+            else:  # stacked (B, R, h, w, F) from the batched split conv
+                corr_feat.append(
+                    jnp.mean(l2_normalize(cfs, axis=-1), axis=1))
         return corr_feat
 
     def eval_features(self, per_frame: Sequence[jnp.ndarray],

@@ -73,8 +73,13 @@ class QuantConv2D(nn.Module):
             shared, parts = x
             assert self.kernel == 1 and self.stride == 1, \
                 "split-input QuantConv2D is 1x1/stride-1 only (corr_conv)"
+            # parts: list of (B, H, W, C_p) arrays, or one STACKED
+            # (B, R, H, W, C_p) array (cfg.coattn_batch_refs) — the
+            # stacked form runs the R part-convs as ONE conv on the
+            # flattened (B*R) batch and returns a stacked result
+            stacked = not isinstance(parts, (list, tuple))
             c_s = shared.shape[-1]
-            in_ch = c_s + parts[0].shape[-1]
+            in_ch = c_s + (parts.shape[-1] if stacked else parts[0].shape[-1])
         else:
             in_ch = x.shape[-1]
         pad = (self.kernel - 1) // 2
@@ -94,7 +99,10 @@ class QuantConv2D(nn.Module):
             amax = self.variable("quant", "act_max",
                                  lambda: jnp.zeros((), jnp.float32))
         if self.mode == "calib" and not self.is_initializing():
-            pieces = [shared, *parts] if split else [x]
+            if split:
+                pieces = [shared, parts] if stacked else [shared, *parts]
+            else:
+                pieces = [x]
             m = jnp.max(jnp.stack(
                 [jnp.max(jnp.abs(p.astype(jnp.float32))) for p in pieces]))
             amax.value = jnp.maximum(amax.value, m)
@@ -111,6 +119,12 @@ class QuantConv2D(nn.Module):
             wq = jnp.clip(jnp.round(w32 / s_w), -127, 127).astype(jnp.int8)
             if split:
                 y_s = conv(quant(shared), wq[:, :, :c_s], jnp.int32)
+                if stacked:
+                    b, r = parts.shape[:2]
+                    y_p = conv(quant(parts.reshape(b * r, *parts.shape[2:])),
+                               wq[:, :, c_s:], jnp.int32)
+                    y = y_s[:, None] + y_p.reshape(b, r, *y_p.shape[1:])
+                    return y.astype(jnp.float32) * (s_in * s_w)
                 return [(y_s + conv(quant(p), wq[:, :, c_s:], jnp.int32)
                          ).astype(jnp.float32) * (s_in * s_w)
                         for p in parts]
@@ -119,6 +133,12 @@ class QuantConv2D(nn.Module):
         wd = w.astype(self.dtype)
         if split:
             y_s = conv(shared.astype(self.dtype), wd[:, :, :c_s])
+            if stacked:
+                b, r = parts.shape[:2]
+                y_p = conv(parts.reshape(
+                    b * r, *parts.shape[2:]).astype(self.dtype),
+                    wd[:, :, c_s:])
+                return y_s[:, None] + y_p.reshape(b, r, *y_p.shape[1:])
             return [y_s + conv(p.astype(self.dtype), wd[:, :, c_s:])
                     for p in parts]
         return conv(x.astype(self.dtype), wd)
@@ -142,7 +162,9 @@ class ConvBNReLU(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         """x: NHWC array, or a `(shared, [parts...])` split input (eval
-        only — see QuantConv2D); the split form returns a list."""
+        only — see QuantConv2D); the split form returns a list, or one
+        stacked (B, R, H, W, F) array when parts came stacked (BN in
+        eval mode and leaky are per-channel elementwise, rank-agnostic)."""
         split = isinstance(x, tuple)
         assert not (split and train), \
             "split ConvBNReLU input is an eval-path optimization"
@@ -163,7 +185,7 @@ class ConvBNReLU(nn.Module):
                 y = nn.relu(y)
             return y
 
-        return [finish(y) for y in x] if split else finish(x)
+        return [finish(y) for y in x] if isinstance(x, list) else finish(x)
 
 
 class DenseBNReLU(nn.Module):

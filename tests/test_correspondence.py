@@ -89,3 +89,76 @@ def test_crossmodal_pairs_top1_word():
             dists = np.abs(negs[:, None, :] - vit[b][None]).sum(-1)
             matches = np.argmin(dists, axis=1)
             assert (matches != p).all()
+
+
+def test_coattention_center_batched_matches_loop():
+    """coattention_center_batched row r == coattention_center(center, ref_r),
+    and the int8-logits variant stays within the quantization error bound
+    for l2-normalized inputs."""
+    from dcnet_tpu.ops.coattention import (
+        coattention_center, coattention_center_batched)
+    rng = np.random.RandomState(2)
+    B, R, H, W, C = 2, 4, 5, 5, 16
+    T = 10.0
+
+    def l2n(x):
+        return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+    center = l2n(rng.randn(B, H, W, C)).astype(np.float32)
+    refs = l2n(rng.randn(B, R, H, W, C)).astype(np.float32)
+
+    with jax.default_matmul_precision("highest"):
+        batched = coattention_center_batched(
+            jnp.asarray(center), jnp.asarray(refs), T)
+        loop = [coattention_center(jnp.asarray(center),
+                                   jnp.asarray(refs[:, r]), T)
+                for r in range(R)]
+        int8_b = coattention_center_batched(
+            jnp.asarray(center), jnp.asarray(refs), T, int8_logits=True)
+        int8_l = coattention_center(jnp.asarray(center),
+                                    jnp.asarray(refs[:, 0]), T,
+                                    int8_logits=True)
+
+    for r in range(R):
+        np.testing.assert_allclose(np.asarray(batched[:, r]),
+                                   np.asarray(loop[r]),
+                                   rtol=1e-5, atol=1e-6)
+    # int8 logits: ~2/127*sqrt(C)*T absolute logit noise -> attended
+    # features (convex combos of unit-norm rows) stay close
+    np.testing.assert_allclose(np.asarray(int8_b[:, 0]),
+                               np.asarray(int8_l), rtol=1e-5, atol=1e-6)
+    err = np.max(np.abs(np.asarray(int8_b) - np.asarray(batched)))
+    assert err < 0.05, f"int8-logit attention error too large: {err}"
+
+
+def test_split_corr_conv_stacked_matches_list():
+    """QuantConv2D split form with STACKED (B, R, H, W, C) parts matches the
+    per-part list form (float and int8 modes), through ConvBNReLU."""
+    from dcnet_tpu.models.heads import ConvBNReLU
+    rng = np.random.RandomState(3)
+    B, R, H, W, Cs, Cp, F = 2, 3, 4, 4, 6, 6, 8
+    shared = rng.randn(B, H, W, Cs).astype(np.float32)
+    parts = rng.randn(B, R, H, W, Cp).astype(np.float32)
+
+    for quant in ("off", "int8"):
+        mod = ConvBNReLU(F, kernel=1, leaky=True, relu=False, quant=quant)
+        variables = mod.init(jax.random.PRNGKey(0),
+                             np.concatenate([shared, parts[:, 0]], axis=-1))
+        if quant == "int8":
+            # calibrate act_max once on the concat input
+            calib = ConvBNReLU(F, kernel=1, leaky=True, relu=False,
+                               quant="calib")
+            _, mut = calib.apply(
+                variables, np.concatenate([shared, parts[:, 0]], axis=-1),
+                mutable=["quant"])
+            variables = {**variables, "quant": mut["quant"]}
+        out_list = mod.apply(
+            variables, (jnp.asarray(shared),
+                        [jnp.asarray(parts[:, r]) for r in range(R)]))
+        out_stacked = mod.apply(
+            variables, (jnp.asarray(shared), jnp.asarray(parts)))
+        assert out_stacked.shape == (B, R, H, W, F)
+        for r in range(R):
+            np.testing.assert_allclose(np.asarray(out_stacked[:, r]),
+                                       np.asarray(out_list[r]),
+                                       rtol=1e-5, atol=1e-6)

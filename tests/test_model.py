@@ -275,3 +275,35 @@ def test_split_corr_conv_matches_concat_int8():
     split_out = i8.apply(v8, (cen, atts), train=False)
     for c, s in zip(concat_out, split_out):
         np.testing.assert_array_equal(np.asarray(c), np.asarray(s))
+
+
+def test_batched_ref_coattention_eval_parity(model_and_vars):
+    """cfg.coattn_batch_refs (one dot_general over all references +
+    stacked split corr_conv) preserves eval_features outputs; the int8
+    QK-logits variant stays within quantization tolerance."""
+    import dataclasses
+    from dcnet_tpu.models.darknet import mini_backbone_defs
+
+    model, variables, images, word_ids = model_and_vars
+    base = model.apply(variables, images, word_ids[:1], n_frame=4,
+                       method=DCNet.eval_clip)
+    batched_model = DCNet(
+        cfg=dataclasses.replace(CFG, coattn_batch_refs=True),
+        backbone_defs=mini_backbone_defs())
+    batched = batched_model.apply(variables, images, word_ids[:1],
+                                  n_frame=4, method=DCNet.eval_clip)
+    for b, s in zip(base.outbox, batched.outbox):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(s),
+                                   rtol=2e-4, atol=2e-4)
+
+    int8_model = DCNet(
+        cfg=dataclasses.replace(CFG, coattn_batch_refs=True,
+                                coattn_int8_logits=True),
+        backbone_defs=mini_backbone_defs())
+    int8_out = int8_model.apply(variables, images, word_ids[:1],
+                                n_frame=4, method=DCNet.eval_clip)
+    for b, s in zip(base.outbox, int8_out.outbox):
+        # int8 logits perturb the attention softmax slightly; outputs
+        # must stay close but not bit-equal
+        np.testing.assert_allclose(np.asarray(b), np.asarray(s),
+                                   rtol=0.08, atol=0.08)
