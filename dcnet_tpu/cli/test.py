@@ -13,6 +13,8 @@ Example (data-free smoke):
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -70,6 +72,17 @@ def main(argv=None):
                         help="with --quant: ALSO static-PTQ the trunk convs "
                              "(mapping_visu/corr_conv/fcn — "
                              "cfg.trunk_quant, models/heads.py::QuantConv2D)")
+    parser.add_argument("--coattn_batch_refs", action="store_true",
+                        help="batch all reference frames through one "
+                             "co-attention dot_general "
+                             "(cfg.coattn_batch_refs; bench A/B flag)")
+    parser.add_argument("--coattn_int8", action="store_true",
+                        help="int8 QK co-attention logits "
+                             "(cfg.coattn_int8_logits; static 1/127 scale "
+                             "from l2-normalization; bench A/B flag)")
+    parser.add_argument("--no_split_corr", action="store_true",
+                        help="disable the split corr_conv center-half "
+                             "hoisting (cfg.split_corr_conv)")
     args = parser.parse_args(argv)
     if args.quant:
         args.stream_eval = True
@@ -82,6 +95,12 @@ def main(argv=None):
 
     ds, corpus = build_dataset(args, "test", testmode=True)
     cfg = config_from_args(args, corpus_size=len(corpus))
+    if args.coattn_batch_refs or args.coattn_int8 or args.no_split_corr:
+        cfg = dataclasses.replace(
+            cfg,
+            coattn_batch_refs=args.coattn_batch_refs,
+            coattn_int8_logits=args.coattn_int8,
+            split_corr_conv=not args.no_split_corr)
     model = build_model(args, cfg)
 
     sample = ds[0]

@@ -106,6 +106,39 @@ def test_quant_eval_close_to_fp(monkeypatch):
 
 
 @pytest.mark.skipif(
+    not (os.path.exists("saved_models/converge32b")
+         and os.path.exists("data/synthetic32")),
+    reason="trained ckpt / synthetic corpus absent — regenerate with: python tools/make_converge32.py")
+@pytest.mark.heavy
+def test_coattn_variants_close_to_default(monkeypatch):
+    """The co-attention A/B variants (batched-reference dot_general, int8 QK
+    logits, split-corr off) reproduce the default eval metrics on trained
+    weights. Batched refs and no-split are algebraic rearrangements (tight
+    tolerance); int8 logits quantize the QK product (quant-level bound)."""
+    import dcnet_tpu.cli.test as tmod
+
+    monkeypatch.setattr(
+        tmod, "build_dataset",
+        _patched_build_dataset("data/synthetic32", limit_rows=10))
+    base = ["--synthetic", "--lstm", "--mini", "--size", "64",
+            "--num_frame_k", "5", "--test", "--batch_size", "4",
+            "--resume", "./saved_models/converge32b",
+            "--savename", "cli_coattn_test"]
+    acc0, miou0 = _metrics_line(_run_main(tmod, base))
+    assert miou0 > 0.05  # trained weights ground something
+    acc_b, miou_b = _metrics_line(
+        _run_main(tmod, base + ["--coattn_batch_refs"]))
+    assert abs(miou_b - miou0) < 2e-3, (miou0, miou_b)
+    assert abs(acc_b - acc0) < 1e-6, (acc0, acc_b)
+    acc_s, miou_s = _metrics_line(_run_main(tmod, base + ["--no_split_corr"]))
+    assert abs(miou_s - miou0) < 2e-3, (miou0, miou_s)
+    assert abs(acc_s - acc0) < 1e-6, (acc0, acc_s)
+    acc_i, miou_i = _metrics_line(_run_main(tmod, base + ["--coattn_int8"]))
+    assert abs(miou_i - miou0) < 0.03, (miou0, miou_i)
+    assert abs(acc_i - acc0) < 0.11, (acc0, acc_i)
+
+
+@pytest.mark.skipif(
     not (os.path.exists("saved_models/converge32bert")
          and os.path.exists("data/synthetic32")),
     reason="BERT ckpt / corpus absent — regenerate with: python tools/make_converge32.py --bert")
