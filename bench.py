@@ -22,6 +22,17 @@ import jax
 
 if os.environ.get("DCNET_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["DCNET_PLATFORM"])
+# Persistent compilation cache: remote-TPU compiles run 10-40 min and the
+# queue scripts re-run many near-identical programs; keyed on HLO+options,
+# so A/B variants miss but repeats (and a surviving VM's next session) hit.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+except Exception:  # older jax without the knob: run uncached
+    pass
 import jax.numpy as jnp
 import numpy as np
 
