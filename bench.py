@@ -75,6 +75,12 @@ def main():
                     help="A/B: eval/serving corr_conv as the naive "
                          "per-reference concat conv instead of hoisting "
                          "the shared center half (cfg.split_corr_conv)")
+    ap.add_argument("--split_corr", action="store_true",
+                    help="A/B: force split_corr_conv ON for --serving "
+                         "(serving defaults OFF: the queue-M adjacent "
+                         "pair measured split -9%% on the streaming step, "
+                         "2,683 vs 2,952 pred/s; offline eval defaults "
+                         "ON, +2.5%%)")
     ap.add_argument("--shift_rings", action="store_true",
                     help="A/B: serving feature rings as a shifted buffer "
                          "(the pre-round-4 layout) instead of the rotating "
@@ -160,6 +166,11 @@ def main():
                                 or args.train_mirror) else 16
     if args.int8_chain is None:
         args.int8_chain = not (args.backbone or args.serving)
+    # split_corr_conv: ON for offline eval (+2.5%, queue G), OFF for the
+    # streaming step (-9%, queue-M adjacent same-process pair: 2,682.7
+    # split vs 2,952.4 no-split pred/s @80 streams)
+    args.split_corr_conv = (args.split_corr
+                            or (not args.serving and not args.no_split_corr))
     if args.quant is None:
         # default: int8 for the eval headline (the production serving
         # config); other modes opt in explicitly
@@ -198,7 +209,7 @@ def main():
         compute_dtype="bfloat16" if dtype == jnp.bfloat16 else "float32",
         n_frames_train=args.frames, remat_backbone=args.remat,
         use_fused_coattn=not args.no_fused_coattn,
-        split_corr_conv=not args.no_split_corr,
+        split_corr_conv=args.split_corr_conv,
         coattn_batch_refs=args.coattn_batch_refs,
         coattn_int8_logits=args.coattn_int8,
         interframe_top_k=min(30, (size // 32) ** 4),
@@ -422,7 +433,7 @@ def main():
                           (max(vals) - min(vals)) / fps * 100, 1),
                       "donate_state": not args.no_donate,
                       "rotate_rings": not args.shift_rings,
-                      "split_corr_conv": not args.no_split_corr,
+                      "split_corr_conv": args.split_corr_conv,
                       "coattn_batch_refs": args.coattn_batch_refs,
                       "coattn_int8": args.coattn_int8,
                       "quant_int8_backbone": bool(args.quant),
@@ -545,7 +556,7 @@ def main():
             "quant_int8_backbone": bool(args.quant),
             "quant_int8_trunk": bool(args.quant and args.quant_trunk),
             "int8_chain": bool(args.quant and args.int8_chain),
-            "split_corr_conv": not args.no_split_corr,
+            "split_corr_conv": args.split_corr_conv,
             "coattn_batch_refs": args.coattn_batch_refs,
             "coattn_int8": args.coattn_int8,
             "encoder": ("bert-base-uncased (frozen)" if args.bert_eval

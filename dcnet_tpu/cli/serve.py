@@ -167,6 +167,11 @@ def main(argv=None):
     assert n > 0, "no streams found"
 
     cfg = config_from_args(args, corpus_size=len(corpus))
+    # split_corr_conv wins on the batched offline eval step (+2.5%) but
+    # costs the streaming step ~9% (queue-M adjacent pair, BENCH_NOTES
+    # round 4): serving runs the naive per-reference corr_conv.
+    import dataclasses
+    cfg = dataclasses.replace(cfg, split_corr_conv=False)
     model = build_model(args, cfg)
     from dcnet_tpu.train.state import create_train_state
     from dcnet_tpu.train.checkpoint import restore_checkpoint

@@ -134,7 +134,12 @@ class DCNetConfig:
                                     # (exact in int8, fp add-order noise in
                                     # float; see heads.QuantConv2D). False
                                     # = the naive per-reference concat conv
-                                    # (A/B: bench --no_split_corr)
+                                    # (A/B: bench --no_split_corr).
+                                    # Measured: +2.5% offline eval (queue
+                                    # G) but -9% streaming serving (queue
+                                    # M adjacent pair) — serving paths
+                                    # (bench --serving, cli.serve) flip
+                                    # it off
     trunk_quant: str = "off"        # static-scale int8 PTQ of the trunk
                                     # convs (mapping_visu/corr_conv/fcn —
                                     # the ~20% of the eval step the int8
