@@ -67,6 +67,21 @@ def main():
                          "references in ONE dot_general "
                          "(cfg.coattn_batch_refs) instead of the "
                          "per-reference loop")
+    ap.add_argument("--coattn_multiref", action="store_true",
+                    help="A/B: eval/serving co-attention over all "
+                         "references in ONE Pallas kernel reading the "
+                         "feature ring in place (cfg.coattn_multiref; no "
+                         "HBM logits/copies — the fix for batch_refs' "
+                         "-39%%)")
+    ap.add_argument("--int8_rings", action="store_true",
+                    help="A/B: serving feature rings stored int8 (static "
+                         "1/127 scale on l2-normalized features; halves "
+                         "ring HBM vs bf16, trunk dequantizes on read)")
+    ap.add_argument("--trace", action="store_true",
+                    help="after timing, capture a jax.profiler device "
+                         "trace of a few steady-state steps and print the "
+                         "per-op summary table (utils.profiling."
+                         "summarize_xplane)")
     ap.add_argument("--coattn_int8", action="store_true",
                     help="A/B: eval/serving co-attention QK logits on the "
                          "int8 MXU path (cfg.coattn_int8_logits; static "
@@ -211,6 +226,7 @@ def main():
         use_fused_coattn=not args.no_fused_coattn,
         split_corr_conv=args.split_corr_conv,
         coattn_batch_refs=args.coattn_batch_refs,
+        coattn_multiref=args.coattn_multiref,
         coattn_int8_logits=args.coattn_int8,
         interframe_top_k=min(30, (size // 32) ** 4),
         interframe_neg_n=min(10, (size // 32) ** 2 - 1),
@@ -366,6 +382,12 @@ def main():
                           flops / dt_step / 197e12 * 100, 1) if flops else None,
                       "image_size": size, "dtype": str(dtype.__name__)},
         }))
+        if args.trace:
+            from dcnet_tpu.utils.profiling import summarize_xplane
+            logdir = f"logs/trace_train_k{args.frames}b{clips}"
+            with jax.profiler.trace(logdir):
+                _, state = run_train(3, state)
+            print(summarize_xplane(logdir, top=15))
         return
 
     if args.serving:
@@ -380,6 +402,7 @@ def main():
                                  n_frame=n_frame, topk=5, fuse_window=5,
                                  donate_state=not args.no_donate,
                                  rotate_rings=not args.shift_rings,
+                                 int8_rings=args.int8_rings,
                                  compiler_options=(
                                      dict(kv.split("=", 1)
                                           for kv in args.xla_opt)
@@ -435,12 +458,20 @@ def main():
                       "rotate_rings": not args.shift_rings,
                       "split_corr_conv": args.split_corr_conv,
                       "coattn_batch_refs": args.coattn_batch_refs,
+                      "coattn_multiref": args.coattn_multiref,
+                      "int8_rings": args.int8_rings,
                       "coattn_int8": args.coattn_int8,
                       "quant_int8_backbone": bool(args.quant),
                       "quant_int8_trunk": bool(args.quant
                                                and args.quant_trunk),
                       "image_size": size, "dtype": str(dtype.__name__)},
         }))
+        if args.trace:
+            from dcnet_tpu.utils.profiling import summarize_xplane
+            logdir = f"logs/trace_serving_s{n_streams}"
+            with jax.profiler.trace(logdir):
+                run_serving(3)
+            print(summarize_xplane(logdir, top=15))
         return
 
     if args.quant:
@@ -558,12 +589,19 @@ def main():
             "int8_chain": bool(args.quant and args.int8_chain),
             "split_corr_conv": args.split_corr_conv,
             "coattn_batch_refs": args.coattn_batch_refs,
+            "coattn_multiref": args.coattn_multiref,
             "coattn_int8": args.coattn_int8,
             "encoder": ("bert-base-uncased (frozen)" if args.bert_eval
                         else "BiLSTM"),
             "device": str(jax.devices()[0].platform),
         },
     }))
+    if args.trace:
+        from dcnet_tpu.utils.profiling import summarize_xplane
+        logdir = f"logs/trace_eval_b{clips}"
+        with jax.profiler.trace(logdir):
+            run(3)
+        print(summarize_xplane(logdir, top=15))
 
 
 def bench_serving_breakdown(args, engine, frames, sids, iters, size, dtype):

@@ -69,6 +69,14 @@ def _parser():
                         "when the previous write finished; effective "
                         "checkpoint cadence at that scale is ~1/min")
     p.add_argument("--print_every", default=8, type=int)
+    p.add_argument("--split_corr", dest="split_corr", action="store_true",
+                   default=None,
+                   help="A/B: force split_corr_conv ON (serving default is "
+                        "OFF — the split costs the streaming step ~9%%, "
+                        "queue-M adjacent pair, BENCH_NOTES round 4)")
+    p.add_argument("--no_split_corr", dest="split_corr",
+                   action="store_false",
+                   help="explicitly keep split_corr_conv OFF (the default)")
     return p
 
 
@@ -169,9 +177,13 @@ def main(argv=None):
     cfg = config_from_args(args, corpus_size=len(corpus))
     # split_corr_conv wins on the batched offline eval step (+2.5%) but
     # costs the streaming step ~9% (queue-M adjacent pair, BENCH_NOTES
-    # round 4): serving runs the naive per-reference corr_conv.
+    # round 4): serving defaults to the naive per-reference corr_conv.
+    # --split_corr / --no_split_corr override for A/Bs (mirrors bench.py).
     import dataclasses
-    cfg = dataclasses.replace(cfg, split_corr_conv=False)
+    if args.split_corr is None:
+        cfg = dataclasses.replace(cfg, split_corr_conv=False)
+    else:
+        cfg = dataclasses.replace(cfg, split_corr_conv=args.split_corr)
     model = build_model(args, cfg)
     from dcnet_tpu.train.state import create_train_state
     from dcnet_tpu.train.checkpoint import restore_checkpoint

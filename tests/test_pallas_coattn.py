@@ -95,6 +95,76 @@ def test_center_only_matches_pair_direction1():
         rtol=1e-5, atol=1e-6)
 
 
+def test_ring_multiref_matches_per_ref_loop():
+    """coattention_ring (one kernel, all references off the ring) ==
+    coattention_center per reference, for every rotating-slot value."""
+    from dcnet_tpu.ops.coattention import coattention_center
+    from dcnet_tpu.ops.pallas.coattn import coattention_ring
+
+    rng = np.random.RandomState(5)
+    B, S, H, W, C = 2, 5, 4, 4, 8
+    ring = jnp.asarray(rng.randn(B, S, H, W, C).astype(np.float32) * 0.3)
+    center_t = S // 2
+    for slot in [None, 0, 2, 4]:
+        got = coattention_ring(ring, 10.0, center_t, newest_slot=slot,
+                               interpret=True)
+        assert got.shape == (B, S - 1, H, W, C)
+        eff_slot = S - 1 if slot is None else slot
+
+        def frame(j):
+            return ring[:, (eff_slot + 1 + j) % S]
+
+        refs = [j for j in range(S) if j != center_t]
+        for r, j in enumerate(refs):
+            want = coattention_center(frame(center_t), frame(j), 10.0)
+            np.testing.assert_allclose(
+                np.asarray(got[:, r]), np.asarray(want),
+                rtol=1e-4, atol=1e-5, err_msg=f"slot={slot} ref={r}")
+
+
+def test_ring_multiref_int8_close_to_float():
+    """int8 rings through the kernel: logits on the int8 path, output
+    within the quantization-noise bound of the float composition on
+    l2-normalized features."""
+    from dcnet_tpu.ops.pallas.coattn import (coattention_ring,
+                                             coattention_ring_fused)
+
+    rng = np.random.RandomState(6)
+    B, S, H, W, C = 1, 5, 4, 4, 16
+    feats = rng.randn(B, S, H, W, C).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)  # l2-normalized
+    ring_f = jnp.asarray(feats)
+    ring_q = jnp.asarray(
+        np.clip(np.round(feats * 127.0), -127, 127).astype(np.int8))
+    want = coattention_ring(ring_f, 10.0, S // 2, interpret=True)
+    got = coattention_ring(ring_q, 10.0, S // 2, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), rtol=0.15, atol=0.05)
+    # the dispatch wrapper's einsum fallback dequantizes to the same values
+    fb = coattention_ring_fused(ring_q, 10.0, compute_dtype=jnp.float32,
+                                max_vmem_p=0)  # force the fallback
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(fb, np.float32),
+                               rtol=0.1, atol=0.03)
+
+
+def test_ring_multiref_multi_tile():
+    """P > row_tile (256): the center row tiles stream while the ref block
+    stays resident — outputs must still match the composition."""
+    from dcnet_tpu.ops.coattention import coattention_center
+    from dcnet_tpu.ops.pallas.coattn import coattention_ring
+
+    rng = np.random.RandomState(7)
+    B, S, H, W, C = 1, 3, 32, 16, 8  # P = 512 = 2 row tiles
+    ring = jnp.asarray(rng.randn(B, S, H, W, C).astype(np.float32) * 0.2)
+    got = coattention_ring(ring, 10.0, 1, newest_slot=None, interpret=True)
+    for r, j in enumerate([0, 2]):
+        want = coattention_center(ring[:, 1], ring[:, j], 10.0)
+        np.testing.assert_allclose(np.asarray(got[:, r]), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_center_only_gradients_match():
     """The single-direction custom_vjp (used by the k>2 ring-pairing TRAIN
     path) must match the einsum VJP of direction 1, including dkv

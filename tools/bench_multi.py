@@ -7,8 +7,17 @@ pays it once, keeps A/B pairs truly adjacent (same process, seconds
 apart), and shares both the in-memory jit cache and the persistent
 compilation cache (.jax_cache).
 
-Each config's one-line JSON result appends to BENCH_RAW_r4.md (which is
-COMMITTED, unlike logs/), with the full stdout in logs/bench_<name>.out.
+Each config's one-line JSON result appends to BENCH_RAW (which is
+COMMITTED, unlike logs/), with the full stdout+stderr in
+logs/bench_<name>.out.
+
+OOM isolation (round 5, after the queue-K cascade): a config that dies
+with RESOURCE_EXHAUSTED used to leave the TPU allocator wedged, so the
+remaining queue failed in 1-2 s at device_put while the run still
+printed "DONE". Now every config (error or not) is followed by a
+device-health gate: delete all live device arrays, clear jit caches,
+and run a tiny device_put+fetch probe. If the probe fails, the queue
+ABORTS LOUDLY instead of burning the tail.
 
 Usage: python tools/bench_multi.py [name ...]   # default: all configs
 """
@@ -23,45 +32,51 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench  # noqa: E402  (triggers jax + axon init once)
 
-RAW = "BENCH_RAW_r4.md"
+RAW = "BENCH_RAW_r5.md"
 VMEM = "xla_tpu_scoped_vmem_limit_kib="
 
 CONFIGS = [
-    # queue I: adjacent split-corr serving pair (pairA may already have a
-    # standalone-process result; rerun here for a same-process pair)
-    ("serving_split_pairA", ["--serving", "--quant"]),
-    ("serving_nosplit_pairB", ["--serving", "--quant", "--no_split_corr"]),
-    # queue J: batched-ref + int8-logit co-attention A/Bs
-    ("serving_batchrefs", ["--serving", "--quant", "--coattn_batch_refs"]),
-    ("serving_batchrefs_int8",
-     ["--serving", "--quant", "--coattn_batch_refs", "--coattn_int8"]),
+    # serving control (round-5 default: split_corr OFF for serving) and the
+    # three verdict-#1 probes, each a same-process adjacent A/B vs ctrl
+    ("serving_ctrl", ["--serving", "--quant"]),
+    ("serving_multiref", ["--serving", "--quant", "--coattn_multiref"]),
+    ("serving_int8only", ["--serving", "--quant", "--coattn_int8"]),
+    ("serving_int8rings", ["--serving", "--quant", "--int8_rings"]),
+    ("serving_multiref_int8rings",
+     ["--serving", "--quant", "--coattn_multiref", "--int8_rings"]),
+    # offline eval: does the multi-ref kernel help the batched path too?
     ("eval_ctrl", []),
-    ("eval_batchrefs", ["--coattn_batch_refs"]),
-    ("eval_batchrefs_int8", ["--coattn_batch_refs", "--coattn_int8"]),
-    ("eval_int8only", ["--coattn_int8"]),
-    # queue H: scoped-vmem lever on serving/eval + train brackets
-    ("serving_vmem64", ["--serving", "--quant", "--xla_opt", VMEM + "65536"]),
-    ("eval_vmem64", ["--xla_opt", VMEM + "65536"]),
-    ("train_k2b64_vmem64",
-     ["--train", "--clips", "64", "--xla_opt", VMEM + "65536"]),
-    ("train_k2b64_default", ["--train", "--clips", "64"]),
-    ("train_k8b16_vmem64",
-     ["--train", "--frames", "8", "--clips", "16", "--xla_opt", VMEM + "65536"]),
-    ("train_k2b64_vmem48m",
-     ["--train", "--clips", "64", "--xla_opt", VMEM + "49152"]),
-    ("train_k2b64_vmem96m",
-     ["--train", "--clips", "64", "--xla_opt", VMEM + "98304"]),
-    # queue I tail: corr/fusion serving breakdown
-    ("serving_breakdown_corr", ["--serving", "--quant", "--serving_breakdown"]),
-    # queue K: ceiling probes
-    ("eval_b80", ["--clips", "80"]),
-    ("eval_b96", ["--clips", "96"]),
+    ("eval_multiref", ["--coattn_multiref"]),
+    # verdict #4: device traces of the two train sweet spots
+    ("trace_train_k8b16",
+     ["--train", "--frames", "8", "--clips", "16", "--trace"]),
+    ("trace_train_k2b64", ["--train", "--clips", "64", "--trace"]),
+    # queue-K tail lost to the round-4 OOM cascade (verdict #2)
+    ("train_k4b32_default", ["--train", "--frames", "4", "--clips", "32"]),
+    ("train_k4b32_vmem64",
+     ["--train", "--frames", "4", "--clips", "32",
+      "--xla_opt", VMEM + "65536"]),
+    # stream-count saturation probes (OOM-risky: run LAST)
     ("serving_s100", ["--serving", "--quant", "--clips", "20"]),
     ("serving_s120", ["--serving", "--quant", "--clips", "24"]),
-    ("train_k4b32_vmem64",
-     ["--train", "--frames", "4", "--clips", "32", "--xla_opt", VMEM + "65536"]),
-    ("train_k4b32_default", ["--train", "--frames", "4", "--clips", "32"]),
 ]
+
+
+def _device_health_gate():
+    """Free everything a dead (or finished) config left on device and
+    prove the allocator still works. Raises if the device is wedged."""
+    import jax
+    import jax.numpy as jnp
+
+    for x in jax.live_arrays():
+        try:
+            x.delete()
+        except Exception:
+            pass
+    jax.clear_caches()
+    probe = jax.device_put(jnp.ones((8, 128), jnp.float32))
+    assert float(probe.sum()) == 8 * 128
+    probe.delete()
 
 
 def run(name, argv):
@@ -72,10 +87,11 @@ def run(name, argv):
     sys.argv = ["bench.py"] + list(argv)
     err = None
     try:
-        with contextlib.redirect_stdout(buf):
+        with contextlib.redirect_stdout(buf), contextlib.redirect_stderr(buf):
             bench.main()
-    except SystemExit:
-        pass
+    except SystemExit as e:
+        if e.code not in (None, 0):
+            err = f"SystemExit({e.code})\n" + buf.getvalue()[-2000:]
     except Exception:
         err = traceback.format_exc()
     out = buf.getvalue()
@@ -89,20 +105,38 @@ def run(name, argv):
     with open(RAW, "a") as f:
         if err:
             f.write(f"ERROR ({dt:.0f}s): {err.strip().splitlines()[-1]}\n")
-        elif "breakdown" in name:
+        elif "breakdown" in name or "trace" in name:
             # the stage table is the result — keep all of it in the
             # committed file, not just the JSON line
             f.write(out + f"({dt:.0f}s)\n")
         else:
             f.write(f"({dt:.0f}s) {result}\n")
     print(f"[bench_multi] {name} done in {dt:.0f}s", file=sys.stderr)
+    return err
 
 
-if __name__ == "__main__":
+def main():
     only = sys.argv[1:]
     for name, argv in CONFIGS:
         if only and name not in only:
             continue
-        run(name, argv)
+        err = run(name, argv)
+        try:
+            _device_health_gate()
+        except Exception:
+            with open(RAW, "a") as f:
+                f.write(f"ABORT after {name}: device wedged "
+                        f"({traceback.format_exc().strip().splitlines()[-1]})"
+                        " — remaining configs NOT run\n")
+            print(f"[bench_multi] ABORT: device wedged after {name}",
+                  file=sys.stderr)
+            sys.exit(1)
+        if err:
+            print(f"[bench_multi] {name} ERRORED (device recovered, "
+                  "continuing)", file=sys.stderr)
     with open(RAW, "a") as f:
         f.write(f"MULTI RUN DONE {time.strftime('%H:%M:%S')}\n")
+
+
+if __name__ == "__main__":
+    main()
