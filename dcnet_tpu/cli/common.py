@@ -51,6 +51,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--dataset", default="VID", type=str)
     p.add_argument("--time", default=20, type=int, help="max query length")
     p.add_argument("--emb_size", default=512, type=int)
+    p.add_argument("--lstm_hidden", default=512, type=int,
+                   help="BiLSTM hidden size; the word embedding width "
+                        "follows it. 512 matches the reference "
+                        "(DCNet_model.py:240). Smaller values give the "
+                        "CPU-trainable tiny accuracy lock "
+                        "(tools/make_converge32.py --tiny)")
     p.add_argument("--resume", default="", type=str)
     p.add_argument("--pretrain", default="", type=str)
     p.add_argument("--optimizer", default="RMSprop", type=str)
@@ -104,6 +110,8 @@ def config_from_args(args, corpus_size: int = 0) -> DCNetConfig:
         n_frames_test=args.num_frame_k if args.test else 5,
         light=args.light,
         use_lstm=args.lstm,
+        lstm_hidden=args.lstm_hidden,
+        word_embedding_size=args.lstm_hidden,
         bert_model=args.bert_model,
         corpus_size=corpus_size,
         lr=args.lr,

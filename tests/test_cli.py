@@ -13,6 +13,8 @@ import os
 import numpy as np
 import pytest
 
+from conftest import ensure_lock, lock_available, materialize_synthetic32
+
 
 def _patched_build_dataset(root, limit_rows=None):
     def build_dataset(args, split, testmode=False, num_frame_k=None):
@@ -54,21 +56,21 @@ def _metrics_line(text):
 
 
 @pytest.mark.skipif(
-    not (os.path.exists("saved_models/converge32b")
-         and os.path.exists("data/synthetic32")),
-    reason="trained ckpt / synthetic corpus absent — regenerate with: python tools/make_converge32.py")
+    not lock_available(),
+    reason="no LSTM lock: neither saved_models/converge32b nor the committed tests/locks/converge32tiny.npz — regenerate with: python tools/make_converge32.py [--tiny]")
 def test_stream_eval_matches_standard(monkeypatch):
     """--stream_eval (backbone once per frame) reproduces the standard
     window-recompute eval metrics on trained weights."""
     import dcnet_tpu.cli.test as tmod
 
+    resume, extra = ensure_lock()
     monkeypatch.setattr(
         tmod, "build_dataset",
         _patched_build_dataset("data/synthetic32", limit_rows=10))
     base = ["--synthetic", "--lstm", "--mini", "--size", "64",
             "--num_frame_k", "5", "--test", "--batch_size", "4",
-            "--resume", "./saved_models/converge32b",
-            "--savename", "cli_eq_test"]
+            "--resume", resume,
+            "--savename", "cli_eq_test"] + extra
     acc_std, miou_std = _metrics_line(_run_main(tmod, base))
     acc_str, miou_str = _metrics_line(_run_main(tmod, base + ["--stream_eval"]))
     assert abs(acc_std - acc_str) < 1e-6
@@ -77,22 +79,22 @@ def test_stream_eval_matches_standard(monkeypatch):
 
 
 @pytest.mark.skipif(
-    not (os.path.exists("saved_models/converge32b")
-         and os.path.exists("data/synthetic32")),
-    reason="trained ckpt / synthetic corpus absent — regenerate with: python tools/make_converge32.py")
+    not lock_available(),
+    reason="no LSTM lock: neither saved_models/converge32b nor the committed tests/locks/converge32tiny.npz — regenerate with: python tools/make_converge32.py [--tiny]")
 def test_quant_eval_close_to_fp(monkeypatch):
     """--quant (int8 backbone, calibrated scales) stays close to the float
     stream-eval metrics on trained weights — the accuracy cost of the 2x
     MXU int8 path is bounded."""
     import dcnet_tpu.cli.test as tmod
 
+    resume, extra = ensure_lock()
     monkeypatch.setattr(
         tmod, "build_dataset",
         _patched_build_dataset("data/synthetic32", limit_rows=10))
     base = ["--synthetic", "--lstm", "--mini", "--size", "64",
             "--num_frame_k", "5", "--test", "--batch_size", "4",
-            "--resume", "./saved_models/converge32b",
-            "--savename", "cli_quant_test", "--stream_eval"]
+            "--resume", resume,
+            "--savename", "cli_quant_test", "--stream_eval"] + extra
     acc_fp, miou_fp = _metrics_line(_run_main(tmod, base))
     acc_q, miou_q = _metrics_line(_run_main(tmod, base + ["--quant"]))
     assert miou_fp > 0.05  # trained weights ground something
@@ -106,9 +108,8 @@ def test_quant_eval_close_to_fp(monkeypatch):
 
 
 @pytest.mark.skipif(
-    not (os.path.exists("saved_models/converge32b")
-         and os.path.exists("data/synthetic32")),
-    reason="trained ckpt / synthetic corpus absent — regenerate with: python tools/make_converge32.py")
+    not lock_available(),
+    reason="no LSTM lock: neither saved_models/converge32b nor the committed tests/locks/converge32tiny.npz — regenerate with: python tools/make_converge32.py [--tiny]")
 @pytest.mark.heavy
 def test_coattn_variants_close_to_default(monkeypatch):
     """The co-attention A/B variants (batched-reference dot_general, int8 QK
@@ -117,13 +118,14 @@ def test_coattn_variants_close_to_default(monkeypatch):
     tolerance); int8 logits quantize the QK product (quant-level bound)."""
     import dcnet_tpu.cli.test as tmod
 
+    resume, extra = ensure_lock()
     monkeypatch.setattr(
         tmod, "build_dataset",
         _patched_build_dataset("data/synthetic32", limit_rows=10))
     base = ["--synthetic", "--lstm", "--mini", "--size", "64",
             "--num_frame_k", "5", "--test", "--batch_size", "4",
-            "--resume", "./saved_models/converge32b",
-            "--savename", "cli_coattn_test"]
+            "--resume", resume,
+            "--savename", "cli_coattn_test"] + extra
     acc0, miou0 = _metrics_line(_run_main(tmod, base))
     assert miou0 > 0.05  # trained weights ground something
     acc_b, miou_b = _metrics_line(
@@ -139,9 +141,8 @@ def test_coattn_variants_close_to_default(monkeypatch):
 
 
 @pytest.mark.skipif(
-    not (os.path.exists("saved_models/converge32bert")
-         and os.path.exists("data/synthetic32")),
-    reason="BERT ckpt / corpus absent — regenerate with: python tools/make_converge32.py --bert")
+    not lock_available(bert=True),
+    reason="no BERT lock: neither saved_models/converge32bert nor the committed tests/locks/converge32tinybert.npz — regenerate with: python tools/make_converge32.py --bert [--tiny]")
 def test_bert_eval_locks(monkeypatch):
     """The BERT-path accuracy lock (BASELINE config 4): trained
     converge32bert weights ground the synthetic test split, --stream_eval
@@ -150,14 +151,15 @@ def test_bert_eval_locks(monkeypatch):
     noise — the BERT twin of the LSTM locks above."""
     import dcnet_tpu.cli.test as tmod
 
+    resume, extra = ensure_lock(bert=True)
     monkeypatch.setattr(
         tmod, "build_dataset",
         _patched_build_dataset("data/synthetic32", limit_rows=10))
     base = ["--synthetic", "--mini", "--size", "64",
             "--bert_model", "bert-mini",
             "--num_frame_k", "5", "--test", "--batch_size", "4",
-            "--resume", "./saved_models/converge32bert",
-            "--savename", "cli_bert_lock"]
+            "--resume", resume,
+            "--savename", "cli_bert_lock"] + extra
     acc_std, miou_std = _metrics_line(_run_main(tmod, base))
     assert miou_std > 0.05  # trained BERT trunk grounds something
     acc_str, miou_str = _metrics_line(
@@ -286,14 +288,13 @@ def test_serve_cli_frames_root(tmp_path, monkeypatch):
     assert "frames_seen=[6, 6]" in out2
 
 
-@pytest.mark.skipif(not os.path.exists("data/synthetic32"),
-                    reason="synthetic corpus absent — nothing to compare")
 def test_make_converge32_regenerates_dataset(tmp_path, monkeypatch):
     """tools/make_converge32.py reproduces data/synthetic32 exactly (seed
     13): the accuracy-lock corpus is deterministically regenerable."""
     import hashlib
     import json
     import sys
+    materialize_synthetic32()
     repo = os.getcwd()
     sys.path.insert(0, os.path.join(repo, "tools"))
     try:

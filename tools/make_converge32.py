@@ -14,7 +14,12 @@ Produces (all gitignored, so a wiped workspace can restore them):
 Usage:
     python tools/make_converge32.py              # TPU: ~45 min (LSTM lock)
     python tools/make_converge32.py --bert       # TPU: BERT lock only
-    DCNET_PLATFORM=cpu python tools/make_converge32.py   # CPU: hours
+    DCNET_PLATFORM=cpu python tools/make_converge32.py   # CPU: ~75 min
+    DCNET_PLATFORM=cpu python tools/make_converge32.py --tiny [--bert]
+        # CPU-tier lock (emb/hidden 128): trains saved_models/converge32tiny
+        # (or converge32tinybert) AND packs it to tests/locks/<name>.npz via
+        # tools/lock_pack.py — the committed artifact that keeps the
+        # accuracy-lock tests armed on a fresh VM (round-5 verdict #5)
 
 Then the skipif-gated locks run:
     python -m pytest tests/test_cli.py -q -k \
@@ -94,9 +99,26 @@ def train_bert() -> None:
     ])
 
 
+def train_tiny(bert: bool) -> None:
+    """CPU-tier lock: the converge32 recipe at emb/hidden 128 (~1-2M trained
+    params), then packed to tests/locks/ so a fresh VM rehydrates it in
+    seconds instead of re-training (see tools/lock_pack.py)."""
+    import dcnet_tpu.cli.train as tmod
+    from lock_pack import pack, tiny_argv
+
+    name = "converge32tinybert" if bert else "converge32tiny"
+    tmod.build_dataset = patched_build_dataset
+    tmod.main(tiny_argv(bert) + [
+        "--nb_epoch", "30", "--auto_resume", "--savename", name])
+    pack(name, bert)
+
+
 if __name__ == "__main__":
     make_dataset()
     if "--dataset_only" in sys.argv:
+        sys.exit(0)
+    if "--tiny" in sys.argv:
+        train_tiny(bert="--bert" in sys.argv)
         sys.exit(0)
     if "--bert" in sys.argv:
         train_bert()
