@@ -63,7 +63,8 @@ def main(argv=None):
     else:
         import torch
         if args.resume:
-            state, epoch, _ = restore_checkpoint(args.resume, state)
+            state, epoch, _ = restore_checkpoint(args.resume, state,
+                                                 with_opt_state=False)
             args.epoch = args.epoch or epoch
         sd = export_reference_state_dict(state.params, state.batch_stats,
                                          light=cfg.light)

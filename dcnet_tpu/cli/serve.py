@@ -197,7 +197,8 @@ def main(argv=None):
     if args.resume:
         state0 = state0.replace(params=variables["params"],
                                 batch_stats=variables["batch_stats"])
-        state0, _, _ = restore_checkpoint(args.resume, state0)
+        state0, _, _ = restore_checkpoint(args.resume, state0,
+                                          with_opt_state=False)
         variables = {"params": state0.params,
                      "batch_stats": state0.batch_stats}
     if args.cast_params:

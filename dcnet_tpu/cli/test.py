@@ -114,7 +114,8 @@ def main(argv=None):
     state = state.replace(params=variables["params"],
                           batch_stats=variables["batch_stats"])
     if args.resume:
-        state, _, _ = restore_checkpoint(args.resume, state)
+        state, _, _ = restore_checkpoint(args.resume, state,
+                                      with_opt_state=False)
 
     if args.stream_eval:
         return _stream_eval(args, ds, cfg, model, state)

@@ -93,8 +93,12 @@ class DCNet(nn.Module):
                 dtype=self.dtype, name="textmodel")
         else:
             from dcnet_tpu.models.bert import BertEncoder
+            # proj_dim follows emb_size: `embedded` feeds PhraseAttention,
+            # whose output dots against the emb_size-channel corr features
+            # (sim_score, dcnet.py _trunk) — 512 only matches by default
             self.textmodel = BertEncoder(
-                bert_model=cfg.bert_model, dtype=self.dtype, name="textmodel")
+                bert_model=cfg.bert_model, proj_dim=cfg.emb_size,
+                dtype=self.dtype, name="textmodel")
         self.mapping_lang = MappingLang(
             cfg.emb_size, dropout=cfg.jemb_dropout, dtype=self.dtype,
             name="mapping_lang")

@@ -45,25 +45,32 @@ def _manager(ckpt_dir: str, keep: int = 3) -> ocp.CheckpointManager:
 
 
 def restore_checkpoint(ckpt_dir: str, state: TrainState,
-                       epoch: Optional[int] = None
+                       epoch: Optional[int] = None,
+                       with_opt_state: bool = True
                        ) -> Tuple[TrainState, int, float]:
-    """Full restore (--resume). Returns (state, next_epoch, best_acc)."""
+    """Full restore (--resume). Returns (state, next_epoch, best_acc).
+
+    `with_opt_state=False` restores params/batch_stats only — the eval
+    CLIs use it, mirroring the reference test path which loads just the
+    model state_dict (test_DCNet.py `checkpoint['state_dict']`), so an
+    optimizer-chain change can't brick evaluation of old checkpoints."""
     mngr = _manager(ckpt_dir)
     step = epoch if epoch is not None else mngr.latest_step()
     if step is None:
         raise FileNotFoundError(f"no checkpoint in {ckpt_dir}")
-    restored = mngr.restore(
-        step,
-        args=ocp.args.Composite(
-            params=ocp.args.StandardRestore(state.params),
-            batch_stats=ocp.args.StandardRestore(state.batch_stats),
-            opt_state=ocp.args.StandardRestore(state.opt_state),
-            meta=ocp.args.JsonRestore(),
-        ))
+    restore_args = dict(
+        params=ocp.args.StandardRestore(state.params),
+        batch_stats=ocp.args.StandardRestore(state.batch_stats),
+        meta=ocp.args.JsonRestore(),
+    )
+    if with_opt_state:
+        restore_args["opt_state"] = ocp.args.StandardRestore(state.opt_state)
+    restored = mngr.restore(step, args=ocp.args.Composite(**restore_args))
     meta = restored["meta"]
     new_state = state.replace(
         params=restored["params"], batch_stats=restored["batch_stats"],
-        opt_state=restored["opt_state"],
+        opt_state=(restored["opt_state"] if with_opt_state
+                   else state.opt_state),
         step=jax.numpy.asarray(meta["step"], jax.numpy.int32))
     return new_state, int(meta["epoch"]) + 1, float(meta["best_acc"])
 

@@ -78,6 +78,28 @@ def _backbone_mask(params) -> Dict:
     return {k: mark(k == "visumodel", v) for k, v in params.items()}
 
 
+def _frozen_mask(params) -> Dict:
+    """True for every leaf under textmodel/bert — the frozen BERT body.
+
+    The reference detaches the BERT output (DCNet_model.py:484), so those
+    params never receive a gradient and torch.optim skips them entirely
+    (`p.grad is None`) — including the RMSprop/Adam weight decay
+    (train_DCNet.py:529,533). Our stop_gradient zeroes their grads, but
+    optax's add_decayed_weights would still leak wd*p into the update and
+    silently decay the "frozen" body (~5% shrink over 30 epochs); this
+    mask forces their final update to exactly zero instead."""
+    def mark(frozen, tree):
+        return jax.tree_util.tree_map(lambda _: frozen, tree)
+
+    out = {}
+    for k, v in params.items():
+        if k == "textmodel" and hasattr(v, "items") and "bert" in v:
+            out[k] = {kk: mark(kk == "bert", vv) for kk, vv in v.items()}
+        else:
+            out[k] = mark(False, v)
+    return out
+
+
 def make_optimizer(cfg: DCNetConfig, steps_per_epoch: int,
                    params) -> optax.GradientTransformation:
     schedule = poly_epoch_schedule(
@@ -101,6 +123,8 @@ def make_optimizer(cfg: DCNetConfig, steps_per_epoch: int,
                      _backbone_mask(params)),
         optax.scale_by_schedule(schedule),
         optax.scale(-1.0),
+        # frozen BERT body: update must be exactly zero (see _frozen_mask)
+        optax.masked(optax.set_to_zero(), _frozen_mask(params)),
     )
 
 

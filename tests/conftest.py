@@ -77,14 +77,14 @@ def lock_available(bert: bool = False) -> bool:
 def ensure_lock(bert: bool = False):
     """Return (resume_dir, extra_argv) for the lock tests. Prefers the full
     TPU-trained artifact; otherwise rehydrates the committed tiny lock
-    (emb/hidden 128 — the extra argv selects that geometry)."""
+    (emb/hidden 256 — the extra argv selects that geometry)."""
     materialize_synthetic32()
     full, tiny = _lock_names(bert)
     full_dir = os.path.join(_REPO, "saved_models", full)
     if os.path.exists(full_dir):
         return full_dir, []
     tiny_dir = os.path.join(_REPO, "saved_models", tiny)
-    extra = ["--emb_size", "128", "--lstm_hidden", "128"]
+    extra = ["--emb_size", "256", "--lstm_hidden", "256"]
     if os.path.exists(tiny_dir):
         return tiny_dir, extra
     import sys

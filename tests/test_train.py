@@ -98,6 +98,37 @@ def test_train_step_updates_and_metrics(state_and_model):
     assert max(jax.tree_util.tree_leaves(diff_bs)) > 0
 
 
+@pytest.mark.heavy
+def test_frozen_bert_body_never_moves():
+    """The BERT body is frozen exactly as the reference freezes it: its
+    output is detached (DCNet_model.py:484), so torch never updates OR
+    weight-decays those params (p.grad is None -> skipped,
+    train_DCNet.py:533). Regression for the round-5 bug where
+    add_decayed_weights leaked wd*p into the 'frozen' body (~5% shrink
+    over 30 epochs): after real train steps the textmodel/bert subtree
+    must be bit-identical to init while textmodel/proj trains."""
+    import dataclasses
+    cfg = dataclasses.replace(CFG, use_lstm=False, bert_model="bert-mini")
+    model = DCNet(cfg=cfg, backbone_defs=mini_backbone_defs())
+    rng = np.random.RandomState(3)
+    state = create_train_state(
+        model, cfg, jax.random.PRNGKey(0), steps_per_epoch=10,
+        sample_batch=_batch(rng, 2))
+    body0 = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), state.params["textmodel"]["bert"])
+    proj0 = np.asarray(state.params["textmodel"]["proj"]["kernel"]).copy()
+    for i in range(2):
+        state, _ = train_step(model, cfg, state, _batch(rng, 2),
+                              jax.random.PRNGKey(i))
+    drift = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(jnp.asarray(a) - b).max()),
+        state.params["textmodel"]["bert"], body0)
+    assert max(jax.tree_util.tree_leaves(drift)) == 0.0
+    d_proj = float(
+        jnp.abs(state.params["textmodel"]["proj"]["kernel"] - proj0).max())
+    assert d_proj > 0.0  # the projection head (outside the freeze) trains
+
+
 def test_backbone_lr_group(state_and_model):
     """Backbone updates are scaled by 0.1 relative to identical gradients."""
     model, state = state_and_model

@@ -59,6 +59,23 @@ CONFIGS = [
     # stream-count saturation probes (OOM-risky: run LAST)
     ("serving_s100", ["--serving", "--quant", "--clips", "20"]),
     ("serving_s120", ["--serving", "--quant", "--clips", "24"]),
+    # device trace of the serving step — corr-stage evidence (added after
+    # the round-5 queue launched; runs via a named follow-up invocation)
+    ("trace_serving", ["--serving", "--quant", "--trace"]),
+    # clean re-run: the first eval_multiref was contaminated by a stray
+    # foreground TPU job in its window (BENCH_RAW_r5.md note, 17:20)
+    ("eval_multiref2", ["--coattn_multiref"]),
+    # k8b16 sits at 4.93x (985.5 f/s, trace-verified device-bound) — the
+    # VMEM bracket was only ever run on k2b64 (neutral); probe k8
+    ("train_k8b16_vmem64",
+     ["--train", "--frames", "8", "--clips", "16",
+      "--xla_opt", VMEM + "65536"]),
+    ("train_k8b16_vmem96",
+     ["--train", "--frames", "8", "--clips", "16",
+      "--xla_opt", VMEM + "98304"]),
+    # throughput was still RISING at 120 streams (3,082.5 = 5.14x, +4.2%
+    # over s100) — push to 160 to find the actual saturation knee
+    ("serving_s160", ["--serving", "--quant", "--clips", "32"]),
 ]
 
 

@@ -33,17 +33,21 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 LOCK_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "locks")
-# the frozen language encoder subtree (BERT path only): random-init at
-# cfg.seed, never trained (make_converge32.py train_bert docstring), so it
-# regenerates exactly instead of being stored
-FROZEN_PREFIX = "textmodel"
+# the frozen BERT body (BERT path only): random-init at cfg.seed, never
+# trained (stop_gradient, models/bert.py BertEncoder), so it regenerates
+# exactly instead of being stored. NOTE: textmodel/proj is OUTSIDE the
+# stop_gradient and trains — it must be stored, hence the /bert suffix.
+FROZEN_PREFIX = "textmodel/bert"
 
 
 def tiny_argv(bert: bool) -> list:
     """The tiny-lock recipe, shared by training, packing and the lock tests
-    (emb/hidden 128 instead of 512; everything else == converge32b)."""
+    (emb/hidden 256 instead of 512; everything else == converge32b).
+    256 is the smallest geometry that still grounds: the first cut (128)
+    underfit even the train split (test acc50 0.0, miou 0.033 vs the
+    full lock's ~0.41) — committed negative, BENCH_RAW_r5.md."""
     argv = ["--synthetic", "--mini", "--size", "64",
-            "--emb_size", "128", "--lstm_hidden", "128",
+            "--emb_size", "256", "--lstm_hidden", "256",
             "--batch_size", "8", "--seed", "13"]
     if bert:
         argv += ["--bert_model", "bert-mini"]

@@ -16,7 +16,7 @@ Usage:
     python tools/make_converge32.py --bert       # TPU: BERT lock only
     DCNET_PLATFORM=cpu python tools/make_converge32.py   # CPU: ~75 min
     DCNET_PLATFORM=cpu python tools/make_converge32.py --tiny [--bert]
-        # CPU-tier lock (emb/hidden 128): trains saved_models/converge32tiny
+        # CPU-tier lock (emb/hidden 256): trains saved_models/converge32tiny
         # (or converge32tinybert) AND packs it to tests/locks/<name>.npz via
         # tools/lock_pack.py — the committed artifact that keeps the
         # accuracy-lock tests armed on a fresh VM (round-5 verdict #5)
@@ -100,7 +100,7 @@ def train_bert() -> None:
 
 
 def train_tiny(bert: bool) -> None:
-    """CPU-tier lock: the converge32 recipe at emb/hidden 128 (~1-2M trained
+    """CPU-tier lock: the converge32 recipe at emb/hidden 256 (~4M trained
     params), then packed to tests/locks/ so a fresh VM rehydrates it in
     seconds instead of re-training (see tools/lock_pack.py)."""
     import dcnet_tpu.cli.train as tmod
