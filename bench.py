@@ -403,6 +403,7 @@ def main():
                                  donate_state=not args.no_donate,
                                  rotate_rings=not args.shift_rings,
                                  int8_rings=args.int8_rings,
+                                 int8_chain=bool(args.int8_chain),
                                  compiler_options=(
                                      dict(kv.split("=", 1)
                                           for kv in args.xla_opt)
@@ -460,6 +461,7 @@ def main():
                       "coattn_batch_refs": args.coattn_batch_refs,
                       "coattn_multiref": args.coattn_multiref,
                       "int8_rings": args.int8_rings,
+                      "int8_chain": bool(args.int8_chain),
                       "coattn_int8": args.coattn_int8,
                       "quant_int8_backbone": bool(args.quant),
                       "quant_int8_trunk": bool(args.quant

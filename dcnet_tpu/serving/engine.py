@@ -53,7 +53,8 @@ class GroundingEngine:
                  n_streams: int, n_frame: int = 5, topk: int = 5,
                  fuse_window: int = 5, mesh=None,
                  donate_state: bool = True, rotate_rings: bool = True,
-                 int8_rings: bool = False, compiler_options=None):
+                 int8_rings: bool = False, int8_chain: bool = False,
+                 compiler_options=None):
         self.model = model
         self.variables = variables
         self.cfg = cfg
@@ -75,6 +76,12 @@ class GroundingEngine:
         # and the multiref Pallas kernel reads int8 rings natively. The
         # top-k cache feats stay in state_dtype (tiny, fp32 fusion math).
         self.int8_rings = int8_rings
+        # int8_chain: sole-consumer backbone activations stay int8 in HBM
+        # (requantize fused into the producer's epilogue, ops/quant.py).
+        # Round-5 serving trace motivation: clamp_convert fusions (the
+        # quantize edges) are ~28% of the 27 ms step; the round-3
+        # "neutral" serving A/B (2,154 vs 2,157) predates bf16 rings.
+        self.int8_chain = int8_chain
         self.ring_dtype = jnp.int8 if int8_rings else self.state_dtype
         # Donate the state pytree (mirrors train_step_donated,
         # train/step.py): the shifted rings and top-k caches are written
@@ -177,7 +184,8 @@ class GroundingEngine:
         if self.qparams is not None:
             from dcnet_tpu.ops import quant as Q
             model, v = self._trunk_model_vars(variables)
-            return Q.quant_extract_features(model, v, self.qparams, frames)
+            return Q.quant_extract_features(model, v, self.qparams, frames,
+                                            int8_chain=self.int8_chain)
         return self.model.apply(variables, frames,
                                 method=DCNet.extract_features)
 

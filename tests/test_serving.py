@@ -170,6 +170,37 @@ def test_quantized_engine_close_to_float(setup):
     np.testing.assert_allclose(score_q8, score_fp, rtol=0.2, atol=0.05)
 
 
+def test_int8_chain_engine_matches_unchained(setup):
+    """int8_chain=True (sole-consumer backbone activations stay int8 in
+    HBM, requantize fused into the producer epilogue) tracks the unchained
+    int8 engine: the chain only moves WHERE requantization happens, so raw
+    boxes stay near-identical after a full window."""
+    model, variables = setup
+    rng = np.random.RandomState(11)
+    n_frame = 5
+    frames = rng.rand(n_frame, 2, 64, 64, 3).astype(np.float32)
+    word_ids = rng.randint(1, 50, (2, 20)).astype(np.int32)
+
+    def run(engine):
+        engine.quantize(frames.reshape(-1, 64, 64, 3),
+                        calib_word_ids=word_ids, trunk=True)
+        state = engine.init_state(word_ids)
+        for t in range(n_frame):
+            state, fused, raw, score = engine.step(state, frames[t])
+        return np.asarray(raw), np.asarray(score)
+
+    raw_u, score_u = run(GroundingEngine(model, variables, CFG, n_streams=2,
+                                         n_frame=n_frame, topk=3,
+                                         fuse_window=3))
+    raw_c, score_c = run(GroundingEngine(model, variables, CFG, n_streams=2,
+                                         n_frame=n_frame, topk=3,
+                                         fuse_window=3, int8_chain=True))
+    from dcnet_tpu.ops.boxes import bbox_iou
+    iou = np.asarray(bbox_iou(jnp.asarray(raw_c), jnp.asarray(raw_u)))
+    assert (iou > 0.9).all(), iou
+    np.testing.assert_allclose(score_c, score_u, rtol=0.2, atol=0.05)
+
+
 def test_query_hot_swap_on_quantized_engine(setup):
     """update_queries composes with the int8 step: after a swap the
     quantized engine's unswapped stream continues exactly as without the

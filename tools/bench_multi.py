@@ -76,6 +76,17 @@ CONFIGS = [
     # throughput was still RISING at 120 streams (3,082.5 = 5.14x, +4.2%
     # over s100) — push to 160 to find the actual saturation knee
     ("serving_s160", ["--serving", "--quant", "--clips", "32"]),
+    # eval headline probe: b64 = 6,392.9, b80 OOMed (backbone conv at 400
+    # frames) — b72 (360 frames) may fit and squeeze out the last batching
+    # economy. s140 = fallback knee point if s160 OOMs.
+    ("eval_b72", ["--clips", "72"]),
+    ("serving_s140", ["--serving", "--quant", "--clips", "28"]),
+    # round-5 serving trace: clamp_convert (quantize-edge) fusions are
+    # ~28% of the 27 ms step — re-probe the int8 activation chain on
+    # serving (round-3 "neutral" verdict predates bf16 rotating rings)
+    ("serving_chain", ["--serving", "--quant", "--int8_chain"]),
+    ("serving_s120_chain",
+     ["--serving", "--quant", "--clips", "24", "--int8_chain"]),
 ]
 
 
