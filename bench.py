@@ -175,10 +175,16 @@ def main():
     ap.add_argument("--no_quant", dest="quant", action="store_false")
     args = ap.parse_args()
     if args.clips is None:
-        args.clips = 64 if not (args.train or args.serving or args.backbone
-                                or args.bert or args.single or args.host
-                                or args.video_mirror
-                                or args.train_mirror) else 16
+        if args.serving:
+            # 24 clips -> 120 streams: the measured peak of the stream-count
+            # curve (BENCH_NOTES: 80->2,952, 100->2,959, 120->3,082.5 =
+            # 5.14x, 160->2,926.7 pred/s). --clips 16 for the 80-stream knee.
+            args.clips = 24
+        elif (args.train or args.backbone or args.bert or args.single
+              or args.host or args.video_mirror or args.train_mirror):
+            args.clips = 16
+        else:
+            args.clips = 64
     if args.int8_chain is None:
         args.int8_chain = not (args.backbone or args.serving)
     # split_corr_conv: ON for offline eval (+2.5%, queue G), OFF for the
