@@ -84,9 +84,15 @@ CONFIGS = [
     # round-5 serving trace: clamp_convert (quantize-edge) fusions are
     # ~28% of the 27 ms step — re-probe the int8 activation chain on
     # serving (round-3 "neutral" verdict predates bf16 rotating rings)
-    ("serving_chain", ["--serving", "--quant", "--int8_chain"]),
+    # --clips 16 = 80 streams: keeps this adjacent-comparable to
+    # serving_ctrl/trace_serving (2,940-2,952) now that the serving
+    # default moved to 24 clips / 120 streams
+    ("serving_chain",
+     ["--serving", "--quant", "--clips", "16", "--int8_chain"]),
     ("serving_s120_chain",
      ["--serving", "--quant", "--clips", "24", "--int8_chain"]),
+    # same-process 80-stream ctrl for the chain A/B above
+    ("serving_ctrl2", ["--serving", "--quant", "--clips", "16"]),
 ]
 
 
