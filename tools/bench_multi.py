@@ -151,9 +151,15 @@ def run(name, argv):
 
 def main():
     only = sys.argv[1:]
-    for name, argv in CONFIGS:
-        if only and name not in only:
-            continue
+    by_name = dict(CONFIGS)
+    if only:
+        # honor the command-line order: OOM-risky configs can be
+        # sequenced LAST so an abort doesn't swallow the rest (eval_b72
+        # ran first out of registry order and did exactly that)
+        todo = [(n, by_name[n]) for n in only]
+    else:
+        todo = CONFIGS
+    for name, argv in todo:
         err = run(name, argv)
         try:
             _device_health_gate()
