@@ -93,6 +93,15 @@ CONFIGS = [
      ["--serving", "--quant", "--clips", "24", "--int8_chain"]),
     # same-process 80-stream ctrl for the chain A/B above
     ("serving_ctrl2", ["--serving", "--quant", "--clips", "16"]),
+    # Final train lever (round 5 tail): every measured train config uses
+    # exactly 128 frames/step (k2b64 / k4b32 / k8b16) — the pixel-budget
+    # axis itself was never probed. k8b20 = 160 frames, k8b24 = 192.
+    # The k8b16 trace says device-bound/no host gaps, which predicts
+    # NEUTRAL per-frame — this measures it. ctrl3 re-anchors k8b16 on
+    # this VM (cross-VM variance rule); b24 is the OOM-riskiest, LAST.
+    ("train_k8b16_ctrl3", ["--train", "--frames", "8", "--clips", "16"]),
+    ("train_k8b20", ["--train", "--frames", "8", "--clips", "20"]),
+    ("train_k8b24", ["--train", "--frames", "8", "--clips", "24"]),
 ]
 
 
