@@ -20,6 +20,7 @@ the same temporal contract as the reference's offline pipeline.
 
 from __future__ import annotations
 
+import logging
 from typing import NamedTuple, Tuple
 
 import jax
@@ -59,6 +60,18 @@ class GroundingEngine:
         self.variables = variables
         self.cfg = cfg
         self.n_streams = n_streams
+        if n_streams > 8 and n_streams % 8:
+            # Measured cliff, not a guess: the per-tick backbone batch is
+            # n_streams, and TPU pads batch rows to the sublane multiple
+            # (8). 140 streams ran 12% BELOW 120 AND 4% below 160 on the
+            # v5e (BENCH_NOTES round-5 stream curve) — pad rows are paid
+            # in full. Throughput peak: 120 streams.
+            logging.getLogger(__name__).warning(
+                "n_streams=%d is not a multiple of 8: the TPU pads the "
+                "per-tick batch to the sublane multiple and throughput "
+                "drops measurably (e.g. 140 streams ran 12%% below 120). "
+                "Prefer a multiple of 8 (120 is the measured v5e peak).",
+                n_streams)
         self.n_frame = n_frame
         self.topk = topk
         self.fuse_window = fuse_window

@@ -76,6 +76,26 @@ def test_multi_stream_independence(setup):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_stream_count_alignment_hint(setup, caplog):
+    """Non-8-aligned deployment-scale stream counts log the measured perf
+    hint (BENCH_NOTES round-5: 140 streams ran 12% below 120); tiny debug
+    counts (<=8) and aligned counts stay quiet."""
+    model, variables = setup
+    import logging
+
+    with caplog.at_level(logging.WARNING, "dcnet_tpu.serving.engine"):
+        GroundingEngine(model, variables, CFG, n_streams=28,
+                        n_frame=5, topk=3, fuse_window=3)
+    assert any("multiple of 8" in r.getMessage() for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, "dcnet_tpu.serving.engine"):
+        GroundingEngine(model, variables, CFG, n_streams=2,
+                        n_frame=5, topk=3, fuse_window=3)
+        GroundingEngine(model, variables, CFG, n_streams=16,
+                        n_frame=5, topk=3, fuse_window=3)
+    assert not caplog.records
+
+
 def test_streaming_on_mesh(setup, devices):
     """Stream axis sharded over the 8-device mesh executes and matches."""
     from dcnet_tpu.parallel import make_mesh
