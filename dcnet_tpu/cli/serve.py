@@ -42,7 +42,11 @@ from dcnet_tpu.serving.engine import (
 
 def _parser():
     p = base_parser("dcnet_tpu streaming serving")
-    p.add_argument("--n_streams", default=8, type=int)
+    p.add_argument("--n_streams", default=8, type=int,
+                   help="concurrent streams per chip. Use a MULTIPLE OF 8 "
+                        "in production (TPU sublane padding: 140 streams "
+                        "measured 12%% below 120; v5e throughput peak is "
+                        "120 — docs/DEPLOYMENT.md)")
     p.add_argument("--ticks", default=32, type=int,
                    help="frame ticks to serve (0 = until streams run dry)")
     p.add_argument("--topk", default=5, type=int)
